@@ -1,0 +1,79 @@
+"""URL canonicalization — the graft's analog of the reference's
+``clone_path`` derivation (lowercase-join, /root/reference/crawlers/github.go:482)
+and natural-key normalization before seen-probe (crawlers/github.go:374-390).
+
+Rules (deterministic, pure; kept simple enough that an ANSI-SQL oracle can
+replicate them exactly — see __spark_entry__.oracle_sql):
+
+  1. strip surrounding whitespace
+  2. prepend "http://" when no scheme is present
+  3. lowercase scheme and host (userinfo is not supported / stripped never)
+  4. strip the fragment ("#...")
+  5. drop default ports (":80" for http, ":443" for https)
+  6. empty path -> "/"
+  7. query string preserved verbatim
+
+Exposed as a scalar Arrow/pandas UDF (input_hint: no per-row Python in the
+hot path — the per-row work here is C-level str ops inside one vectorized
+batch call).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+_DEFAULT_PORT = {"http": ":80", "https": ":443"}
+
+
+def canonicalize_one(url: str | None) -> str | None:
+    if url is None:
+        return None
+    u = url.strip()
+    if not u:
+        return None
+    # 4. fragment first (cheap, independent of structure)
+    hash_pos = u.find("#")
+    if hash_pos >= 0:
+        u = u[:hash_pos]
+    # 2./3. scheme
+    scheme_end = u.find("://")
+    if scheme_end < 0:
+        scheme, rest = "http", u
+    else:
+        scheme, rest = u[:scheme_end].lower(), u[scheme_end + 3:]
+    # split host[:port] from path
+    slash = rest.find("/")
+    if slash < 0:
+        hostport, path = rest, ""
+    else:
+        hostport, path = rest[:slash], rest[slash:]
+    hostport = hostport.lower()
+    # 5. default port
+    dp = _DEFAULT_PORT.get(scheme)
+    if dp and hostport.endswith(dp):
+        hostport = hostport[: -len(dp)]
+    # 6. empty path
+    if not path:
+        path = "/"
+    return f"{scheme}://{hostport}{path}"
+
+
+def host_of(url: str | None) -> str | None:
+    """Host (incl. non-default port) of an already-canonical URL."""
+    if url is None:
+        return None
+    start = url.find("://") + 3
+    end = url.find("/", start)
+    return url[start:] if end < 0 else url[start:end]
+
+
+@pandas_udf(StringType())
+def canonicalize_url(urls: pd.Series) -> pd.Series:
+    return urls.map(canonicalize_one, na_action="ignore")
+
+
+@pandas_udf(StringType())
+def url_host(urls: pd.Series) -> pd.Series:
+    return urls.map(host_of, na_action="ignore")

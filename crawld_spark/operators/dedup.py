@@ -1,0 +1,159 @@
+"""Document deduplication family — the training-data-pipeline operators a
+100 TB web corpus needs on top of the crawl loop (exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup).
+
+The crawl engine's URL-seen set (operators/seen.py) dedups *identity*; these
+dedup *content* — the web-scale reality that the same text lives at many
+URLs. All of them are pure DataFrame plans over built-in functions
+(JVM-side, whole-stage codegen); the only hash used is MD5 because the
+DuckDB oracle must reproduce values bit-for-bit (functions/hashing.py).
+
+Scale notes (10^10 docs):
+- exact: single shuffle on a 128-bit digest — never on raw text (group key
+  stays 32 bytes/row regardless of document size).
+- MinHash+LSH: per-doc signature is a narrow fixed-width row; the only
+  shuffle is on band keys, whose cardinality ~ n_docs; skewed bands (empty
+  documents, boilerplate) are exactly the AQE-skew-join case.
+- SimHash: one pass, no shuffle at all until the band grouping.
+- n-gram Jaccard: only runs on *candidate pairs* (from LSH buckets) — the
+  quadratic step is bounded by bucket sizes, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def norm_tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text (portable: identical in
+    DuckDB as regexp_split_to_array(trim(x), '\\s+'))."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def shingles(text: Column, k: int) -> Column:
+    """k-word shingles, distinct, as strings joined by single spaces."""
+    toks = norm_tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+
+
+def _seeded_md5(i: int):
+    # factory (not a default-arg lambda: PySpark reads lambda arity from the
+    # Python signature, so `lambda s, i=i` would register as a 2-arg lambda)
+    return lambda s: F.md5(F.concat(F.lit(f"seed{i}:"), s))
+
+
+def minhash_sig(sh: Column, n_hashes: int) -> list[Column]:
+    """MinHash over md5 hex strings: min lexicographic md5(seed || shingle)
+    per seed is a valid permutation-min — and portable to any SQL engine."""
+    return [
+        F.array_min(F.transform(sh, _seeded_md5(i))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup via digest-groupBy: one shuffle on md5(text), keeps the
+    lowest id (deterministic survivor)."""
+    return (
+        docs.withColumn("digest", F.md5(F.col(text_col)))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def minhash_lsh_buckets(
+    docs: DataFrame,
+    n_hashes: int = 4,
+    band_size: int = 2,
+    shingle_k: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signatures → LSH bands → bucket rows. Docs sharing a band
+    bucket are near-dup candidates. Output: (band_id, band_key, doc_id)."""
+    sig = docs.select(F.col(id_col), *minhash_sig(shingles(F.col(text_col), shingle_k), n_hashes))
+    n_bands = n_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            sig.select(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+                F.col(id_col),
+            )
+        )
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def minhash_candidate_groups(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Buckets with >1 doc → candidate near-dup groups."""
+    return (
+        buckets.groupBy("band_id", "band_key")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("min_doc"),
+            F.max(id_col).alias("max_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over whitespace tokens, portable construction:
+    bit b of md5(token) = high bit of hex digit b+1 (digit ∈ 8..f).
+    weight_b = Σ_tokens (bit ? +1 : -1); simhash bit b set iff weight_b > 0.
+    """
+    toks = norm_tokens(text)
+    hexes = F.transform(toks, lambda t: F.md5(t))
+
+    def _bit_merge(b: int):
+        return lambda acc, h: acc + F.when(
+            F.substring(h, b + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1
+        ).otherwise(-1)
+
+    bits = []
+    for b in range(16):
+        w = F.aggregate(hexes, F.lit(0), _bit_merge(b))
+        bits.append(F.when(w > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = bits[0]
+    for x in bits[1:]:
+        out = out + x
+    return out
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,  # columns: d1, d2 (candidate pairs, e.g. from LSH)
+    n: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token/n-gram Jaccard similarity for given candidate pairs.
+    Set ops on distinct shingle arrays — built-ins only."""
+    sh = docs.select(
+        F.col(id_col), shingles(F.col(text_col), n).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("d1"), F.col("sh").alias("sh1"))
+    b = sh.select(F.col(id_col).alias("d2"), F.col("sh").alias("sh2"))
+    j = (
+        pairs.join(a, "d1").join(b, "d2")
+        .withColumn("inter", F.size(F.array_intersect("sh1", "sh2")))
+        .withColumn("uni", F.size(F.array_union("sh1", "sh2")))
+        .withColumn(
+            "jaccard",
+            F.when(F.col("uni") > 0, F.col("inter") / F.col("uni")).otherwise(F.lit(0.0)),
+        )
+    )
+    return j.select("d1", "d2", "inter", "uni", F.round("jaccard", 6).alias("jaccard"))

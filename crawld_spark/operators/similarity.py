@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a 100 TB pipeline needs:
+
+- **brute-force cosine top-k** — the correctness baseline: cross join of the
+  (small, broadcast) query set against the corpus, dot products via
+  ``F.zip_with``/``F.aggregate`` (JVM higher-order functions — no Python in
+  the loop), windowed top-k per query.
+- **IVF (inverted-file) bucketed** — the scale path: a coarse quantizer
+  (here: per-label centroid; in production k-means) assigns each corpus
+  vector to a cell; a query probes only its nearest cell(s). Turns the
+  O(N·Q) scan into O(N/cells · Q) with the same DataFrame shape.
+
+Numeric determinism contract (shared with the DuckDB oracle): vector
+elements are quantized to int64 via ``floor(x * 10000)`` *before* any
+arithmetic — integer dot products are exact and order-independent, so Spark
+and the oracle agree bit-for-bit; the final cosine is one IEEE double
+division of exact integers. (Float accumulation order would otherwise
+differ between engines.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+Q = 10000  # quantization scale
+
+
+def quantize(vec: Column) -> Column:
+    # widen float32 → double BEFORE multiplying: single-precision products
+    # floor differently than the oracle's double math
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * Q).cast("long"))
+
+
+def dot_i(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"),
+                       lambda acc, v: acc + v)
+
+
+def norm2_i(a: Column) -> Column:
+    return F.aggregate(F.transform(a, lambda x: x * x), F.lit(0).cast("long"),
+                       lambda acc, v: acc + v)
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine over pre-quantized int vectors — exact ints, one double div."""
+    return dot_i(a, b) / (F.sqrt(norm2_i(a).cast("double")) * F.sqrt(norm2_i(b).cast("double")))
+
+
+def brute_force_topk(
+    queries: DataFrame,  # vec_id, embedding
+    corpus: DataFrame,  # vec_id, embedding
+    k: int = 5,
+) -> DataFrame:
+    """Top-k cosine neighbors per query. Query side broadcast (small by
+    contract); corpus scanned once."""
+    q = queries.select(
+        F.col("vec_id").alias("qid"), quantize("embedding").alias("qv")
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("nid"), quantize("embedding").alias("nv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("cos", cosine_sim(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "nid", F.round("cos", 6).alias("cos"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,  # vec_id, embedding
+    corpus: DataFrame,  # vec_id, embedding, label  (label = coarse cell)
+    k: int = 5,
+) -> DataFrame:
+    """IVF: probe only the nearest coarse cell.
+
+    Centroid c_l = elementwise SUM of the cell's quantized vectors (an exact
+    integer vector; equivalent to the mean for cosine since scale cancels).
+    Query → argmax_l cos(q, c_l) → top-k within that cell only.
+    """
+    c = corpus.select(
+        F.col("vec_id").alias("nid"), F.col("label"), quantize("embedding").alias("nv")
+    )
+    dim = 64  # element count probed below via first row if needed; fixed for testdata
+    cents = (
+        c.select("label", F.posexplode("nv").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"))
+        .select("label", F.transform("ps", lambda x: x["s"]).alias("cv"))
+    )
+    q = queries.select(F.col("vec_id").alias("qid"), quantize("embedding").alias("qv"))
+    probe = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", cosine_sim(F.col("qv"), F.col("cv")))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("ccos"), F.asc("label"))
+    best_cell = (
+        probe.withColumn("r", F.row_number().over(wq)).where(F.col("r") == 1)
+        .select("qid", "qv", "label")
+    )
+    scored = best_cell.join(c, on="label").withColumn(
+        "cos", cosine_sim(F.col("qv"), F.col("nv"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "label", "rank", "nid", F.round("cos", 6).alias("cos"))
+    )

@@ -1,0 +1,103 @@
+"""Text analysis for training-data pipelines: language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+Every function returns a Column built from built-in pyspark.sql.functions
+only (JVM-side, whole-stage codegen — no UDFs in these hot paths), with
+semantics chosen to be replicable in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# stopword marker lists per language (tiny n-gram heuristic)
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " y ", " los "],
+}
+
+
+def _occurrences(text: Column, needle: str) -> Column:
+    """Count of non-overlapping occurrences via the length-difference trick
+    (portable to any SQL engine)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+def lang_id_guess(text: Column) -> Column:
+    """Heuristic language ID: most stopword-marker hits wins; ties and
+    zero-hits → 'unknown'. (Deterministic tie-break: higher score strictly
+    required, evaluated in fixed language order.)"""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores = {
+        lang: sum((_occurrences(padded, m) for m in ms), F.lit(0))
+        for lang, ms in _LANG_MARKERS.items()
+    }
+    best = F.lit("unknown")
+    best_score = F.lit(0)
+    for lang in ["en", "de", "fr", "es"]:  # fixed order
+        s = scores[lang]
+        best = F.when(s > best_score, F.lit(lang)).otherwise(best)
+        best_score = F.when(s > best_score, s).otherwise(best_score)
+    return best
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    )
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """BPE-ish pre-tokenizer count: letter runs, digit runs, single
+    punctuation marks."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio features + a composite score
+    (the usual web-corpus quality gates)."""
+    n_chars = F.length(text)
+    n_tokens = token_count_ws(text)
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    stop_hits = sum(
+        (_occurrences(padded, m) for ms in _LANG_MARKERS.values() for m in ms), F.lit(0)
+    )
+    # punct count = chars removed when stripping everything non-alnum/space
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[^A-Za-z0-9 ]", ""))
+    avg_tok_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.when((n_tokens >= 10) & (n_tokens <= 10000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((avg_tok_len >= 3) & (avg_tok_len <= 12), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio < 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.01, F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "avg_tok_len": F.round(avg_tok_len, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "stop_ratio": F.round(stop_ratio, 6),
+        "quality": F.round(score, 2),
+    }
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Whole-document fingerprint: md5 of lowercased trimmed text."""
+    return F.md5(F.lower(F.trim(text)))
+
+
+def fingerprint_kgram_min(text: Column, k: int = 4) -> Column:
+    """Rolling k-gram fingerprint: min md5 over all char k-grams — a
+    1-of-winnowing sketch, stable under text reordering-free edits."""
+    n = F.length(text)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_min(F.transform(idx, lambda i: F.md5(F.substring(text, i, k))))

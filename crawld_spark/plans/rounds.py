@@ -1,0 +1,377 @@
+"""The round driver — the engine's crawl/fetch loop.
+
+Shape ≙ the reference's two workers fused into one deterministic dataflow
+(/root/reference/crawld.go:44-62 crawlingWorker, :109-249 repoWorker): each
+round scans the frontier work-list in a defined order, fans out bounded
+per-host work, fetches, upserts results, checkpoints — except here every
+step is a declarative DataFrame plan and the "checkpoint file"
+(crawld.go:429-454) is an atomic multi-table snapshot commit
+(sources/tables.Catalog.commit_round).
+
+One fetch round r (SURVEY.md §3.2 flagship path):
+
+  frontier(status='pending')
+    → politeness schedule  (groupBy(host).applyInPandas: robots, clock, heap)
+    → LEFT JOIN pages ON url                       (the "fetch", ≙ git clone)
+    → extract_text / extract_links  (vectorized pandas UDFs, byte-identical)
+    → admit new links through bloom→cuckoo→anti-join seen set
+    → MERGE frontier / append fetched / advance host_state / append rounds
+    → commit (atomic; resume replays from last committed round)
+
+Determinism (SURVEY.md §7.0): no wall clock, virtual round timeline;
+discovery_seq assigned by total order (priority DESC, url ASC) at admission;
+ties impossible. Re-running any round is idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from crawld_spark.config import CrawlConfig
+from crawld_spark.functions.extract import extract_links, extract_text
+from crawld_spark.functions.url import canonicalize_url, url_host
+from crawld_spark.operators import politeness, seen
+from crawld_spark.plans.rank import global_rank
+from crawld_spark.sources.tables import Catalog
+
+FRONTIER_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("host", StringType(), False),
+        StructField("priority", DoubleType(), False),
+        StructField("discovery_seq", LongType(), False),
+        StructField("status", StringType(), False),  # pending|fetched|filtered|denied|failed
+        StructField("round_added", IntegerType(), False),
+        StructField("attempts", IntegerType(), False),
+    ]
+)
+
+FETCHED_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("round_id", IntegerType(), False),
+        StructField("priority", DoubleType(), False),
+        StructField("discovery_seq", LongType(), False),
+        StructField("sched_vt", DoubleType(), True),
+        StructField("html", BinaryType(), True),
+        StructField("text", StringType(), True),
+        StructField("links", ArrayType(StringType()), True),
+        StructField("lang", StringType(), True),
+        StructField("fetch_status", StringType(), False),  # ok|missing|filtered
+    ]
+)
+
+ROUNDS_SCHEMA = StructType(
+    [
+        StructField("round_id", IntegerType(), False),
+        StructField("partition_id", IntegerType(), False),
+        StructField("urls_in", LongType(), False),
+        StructField("fetched", LongType(), False),
+        StructField("failed", LongType(), False),
+        StructField("parsed", LongType(), False),
+        StructField("denied", LongType(), False),
+    ]
+)
+
+T_FRONTIER, T_SEEN, T_HOST, T_FETCHED, T_ROUNDS, T_ROBOTS = (
+    "frontier", "seen_shards", "host_state", "fetched", "rounds", "robots",
+)
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, cfg: CrawlConfig, pages: DataFrame,
+                 robots: DataFrame | None = None):
+        from crawld_spark.shiplib import ensure_shipped
+
+        ensure_shipped(spark)
+        self.spark = spark
+        self.cfg = cfg.validate()
+        self.pages = pages
+        self.cat = Catalog(spark, cfg.warehouse)
+        self.robots = robots if robots is not None else spark.createDataFrame(
+            [], "host string, disallow_prefixes array<string>, crawl_delay_s double"
+        )
+
+    # ---------------- bootstrap (round 0 = seed admission) ----------------
+    def bootstrap(self, seeds: DataFrame) -> None:
+        """Create state tables and admit the seed list (≙ the reference's
+        initial crawler pass populating `repositories`). Commits round 0."""
+        cfg, cat = self.cfg, self.cat
+        shards = seen.empty_shards(self.spark, cfg.n_seen_shards,
+                                   cfg.cuckoo_capacity_per_shard, cfg.bloom_bits)
+        empty_frontier = self.spark.createDataFrame([], FRONTIER_SCHEMA)
+
+        cand = (
+            seeds.withColumn("url", canonicalize_url(F.col("url")))
+            .where(F.col("url").isNotNull())
+            .groupBy("url")
+            .agg(F.max("priority").alias("priority"))
+        )
+        admitted, new_shards = seen.admit_new_urls(
+            self.spark, cand, shards, empty_frontier.select("url"),
+            cfg.n_seen_shards, cfg.bloom_bits, round_id=0,
+        )
+        ranked = global_rank(
+            admitted.select("url", "priority"),
+            [F.desc("priority"), F.asc("url")],
+            out="discovery_seq",
+            start=1,
+        )
+        frontier = (
+            ranked.withColumn("host", url_host(F.col("url")))
+            .withColumn("status", F.lit("pending"))
+            .withColumn("round_added", F.lit(0))
+            .withColumn("attempts", F.lit(0))
+            .select([f.name for f in FRONTIER_SCHEMA.fields])
+        )
+        versions = {
+            T_FRONTIER: cat.write(T_FRONTIER, frontier, advance_pointer=False),
+            T_SEEN: cat.write(T_SEEN, new_shards, advance_pointer=False),
+            T_HOST: cat.write(
+                T_HOST,
+                self.spark.createDataFrame([], politeness.HOST_STATE_SCHEMA),
+                advance_pointer=False,
+            ),
+            T_FETCHED: cat.write(
+                T_FETCHED, self.spark.createDataFrame([], FETCHED_SCHEMA),
+                advance_pointer=False,
+            ),
+            T_ROUNDS: cat.write(
+                T_ROUNDS, self.spark.createDataFrame([], ROUNDS_SCHEMA),
+                advance_pointer=False,
+            ),
+            T_ROBOTS: cat.write(T_ROBOTS, self.robots, advance_pointer=False),
+        }
+        cat.commit_round(0, versions)
+
+    # ---------------- one fetch round ----------------
+    def run_round(self, round_id: int) -> dict:
+        """Execute fetch round `round_id` (≥1). Returns counters. Idempotent:
+        re-running after a crash before commit produces the same commit."""
+        cfg, cat, spark = self.cfg, self.cat, self.spark
+        frontier = cat.read(T_FRONTIER).cache()
+        host_state = cat.read(T_HOST, politeness.HOST_STATE_SCHEMA)
+        robots = cat.read(T_ROBOTS)
+        shards = cat.read(T_SEEN)
+
+        pending = frontier.where(F.col("status") == "pending")
+        if round_id == 1 and cfg.since_seq > 0:
+            # resume predicate: first round only (≙ crawld.go:116,266 — F1)
+            pending = pending.where(F.col("discovery_seq") >= cfg.since_seq)
+
+        scheduled = politeness.schedule_round(
+            pending.select("url", "host", "priority", "discovery_seq"),
+            host_state, robots, round_id, cfg,
+        )
+        if cfg.max_urls_per_round > 0:
+            # global budget: keep top-K of this round's fetch list by the
+            # canonical total order (≙ global limit, crawlers/github.go:121)
+            fetch_list = (
+                scheduled.where(F.col("decision") == "fetch")
+                .orderBy(F.desc("priority"), F.asc("discovery_seq"))
+                .limit(cfg.max_urls_per_round)
+            )
+            scheduled = fetch_list.unionByName(
+                scheduled.where(F.col("decision") == "denied")
+            )
+        scheduled = scheduled.cache()
+
+        fetch_list = scheduled.where(F.col("decision") == "fetch")
+        denied = scheduled.where(F.col("decision") == "denied")
+
+        # ---- the fetch: LEFT JOIN against the simulated web (J5) ----
+        got = (
+            fetch_list.join(self.pages, on="url", how="left")
+            .withColumn(
+                "fetch_status",
+                F.when(F.col("warc_ts").isNull(), F.lit("missing"))
+                .when(
+                    F.lit(len(cfg.languages) == 0)
+                    | F.col("lang").isin(cfg.languages),  # case-sensitive stage-1 (F4)
+                    F.lit("ok"),
+                )
+                .otherwise(F.lit("filtered")),
+            )
+            .cache()
+        )
+        ok = got.where(F.col("fetch_status") == "ok")
+        parsed = ok.withColumn("ex_text", extract_text(F.col("html"))).withColumn(
+            "ex_links", extract_links(F.col("html"))
+        )
+        fetched_rows = parsed.select(
+            "url",
+            F.lit(round_id).alias("round_id"),
+            "priority",
+            "discovery_seq",
+            "sched_vt",
+            "html",
+            F.col("ex_text").alias("text"),
+            F.col("ex_links").alias("links"),
+            "lang",
+            "fetch_status",
+        )
+        fetched_rows = fetched_rows.cache()
+
+        # ---- frontier admission of newly discovered links ----
+        cand = (
+            fetched_rows.select(
+                F.explode("links").alias("raw_url"),
+                (F.col("priority") - F.lit(cfg.link_priority_decay)).alias("priority"),
+            )
+            .withColumn("url", canonicalize_url(F.col("raw_url")))
+            .where(F.col("url").isNotNull())
+            .groupBy("url")
+            .agg(F.max("priority").alias("priority"))
+        )
+        admitted, new_shards = seen.admit_new_urls(
+            spark, cand, shards, frontier.select("url"),
+            cfg.n_seen_shards, cfg.bloom_bits, round_id=round_id,
+        )
+        max_seq = frontier.agg(F.max("discovery_seq")).collect()[0][0] or 0
+        admitted_cnt = admitted.count()
+        if admitted_cnt > 0:
+            ranked = global_rank(
+                admitted.select("url", "priority"),
+                [F.desc("priority"), F.asc("url")],
+                out="discovery_seq",
+                start=max_seq + 1,
+            )
+            new_frontier_rows = (
+                ranked.withColumn("host", url_host(F.col("url")))
+                .withColumn("status", F.lit("pending"))
+                .withColumn("round_added", F.lit(round_id))
+                .withColumn("attempts", F.lit(0))
+                .select([f.name for f in FRONTIER_SCHEMA.fields])
+            )
+        else:
+            new_frontier_rows = spark.createDataFrame([], FRONTIER_SCHEMA)
+
+        # ---- frontier status updates (MERGE, ≙ insert-or-update A1-A5) ----
+        status_after = (
+            got.select(
+                "url",
+                F.when(F.col("fetch_status") == "ok", F.lit("fetched"))
+                .when(F.col("fetch_status") == "filtered", F.lit("filtered"))
+                .otherwise(F.lit("retry"))
+                .alias("new_status"),
+            )
+            .unionByName(denied.select("url", F.lit("denied").alias("new_status")))
+        )
+        fr_upd = (
+            frontier.join(status_after, on="url", how="left")
+            .withColumn(
+                "attempts",
+                F.when(F.col("new_status") == "retry", F.col("attempts") + 1).otherwise(
+                    F.col("attempts")
+                ),
+            )
+            .withColumn(
+                "status",
+                F.when(F.col("new_status").isNull(), F.col("status"))
+                .when(
+                    (F.col("new_status") == "retry")
+                    & F.lit(cfg.max_attempts > 0)
+                    & (F.col("attempts") >= cfg.max_attempts),
+                    F.lit("failed"),
+                )
+                .when(F.col("new_status") == "retry", F.lit("pending"))
+                .otherwise(F.col("new_status")),
+            )
+            .select([f.name for f in FRONTIER_SCHEMA.fields])
+            .unionByName(new_frontier_rows)
+        )
+
+        # ---- host_state advance + error throttle ----
+        errors = (
+            got.where(F.col("fetch_status") == "missing")
+            .withColumn("host", url_host(F.col("url")))
+            .groupBy("host")
+            .agg(F.count("*").alias("n_errors"))
+        )
+        hs_new = politeness.advance_host_state(
+            host_state, robots, scheduled, errors, round_id, cfg
+        )
+
+        # ---- per-partition lineage counters (north_rule) ----
+        lineage = (
+            got.withColumn("host", url_host(F.col("url")))
+            .withColumn(
+                "partition_id",
+                F.pmod(F.xxhash64("host"), F.lit(cfg.shuffle_partitions)).cast("int"),
+            )
+            .groupBy("partition_id")
+            .agg(
+                F.count("*").alias("urls_in"),
+                F.sum(F.when(F.col("fetch_status") == "ok", 1).otherwise(0)).alias("fetched"),
+                F.sum(F.when(F.col("fetch_status") == "missing", 1).otherwise(0)).alias(
+                    "failed"
+                ),
+                F.sum(F.when(F.col("fetch_status") == "ok", 1).otherwise(0)).alias("parsed"),
+            )
+            .withColumn("round_id", F.lit(round_id))
+            .withColumn("denied", F.lit(0).cast("long"))
+            .select([f.name for f in ROUNDS_SCHEMA.fields])
+        )
+        denied_cnt = denied.count()
+        if denied_cnt:
+            denied_row = spark.createDataFrame(
+                [(round_id, -1, 0, 0, 0, 0, denied_cnt)], ROUNDS_SCHEMA
+            )
+            lineage = lineage.unionByName(denied_row)
+
+        # ---- stage writes, then atomic commit (success-only ≙ crawld.go:236-239)
+        versions = {
+            T_FRONTIER: cat.write(T_FRONTIER, fr_upd, advance_pointer=False),
+            T_SEEN: cat.write(T_SEEN, new_shards, advance_pointer=False),
+            T_HOST: cat.write(T_HOST, hs_new, advance_pointer=False),
+            T_FETCHED: cat.append(T_FETCHED, fetched_rows, FETCHED_SCHEMA,
+                                  advance_pointer=False),
+            T_ROUNDS: cat.append(T_ROUNDS, lineage, ROUNDS_SCHEMA, advance_pointer=False),
+            T_ROBOTS: cat.current_version(T_ROBOTS),
+        }
+        n_fetched = fetched_rows.count()
+        n_sched = fetch_list.count()
+        cat.commit_round(round_id, versions)
+
+        for df in (frontier, scheduled, got, fetched_rows):
+            df.unpersist()
+        return {
+            "round_id": round_id,
+            "scheduled": n_sched,
+            "fetched": n_fetched,
+            "denied": denied_cnt,
+            "admitted": admitted_cnt,
+        }
+
+    # ---------------- full crawl ----------------
+    def run(self, seeds: DataFrame | None = None, max_rounds: int = 1000) -> list[dict]:
+        """Bootstrap (if fresh), then run rounds until the frontier drains.
+        Resume: picks up after the last committed round (≙ crawld's
+        last_fetched_id read-back, crawld.go:412-421)."""
+        cat = self.cat
+        last = cat.restore_last_commit()
+        if last < 0:
+            if seeds is None:
+                raise ValueError("fresh warehouse needs a seed list")
+            self.bootstrap(seeds)
+            last = 0
+        stats = []
+        for r in range(last + 1, last + 1 + max_rounds):
+            pending_left = (
+                cat.read(T_FRONTIER).where(F.col("status") == "pending").limit(1).count()
+            )
+            if pending_left == 0:
+                break
+            stats.append(self.run_round(r))
+        return stats

@@ -1,0 +1,782 @@
+"""The oracle-checked query surface (driver contract, __spark_entry__.py).
+
+One entry per operator family from SURVEY.md §2 + the training-data pipeline
+operators (dedup / similarity / text-analysis / multimodal), each expressed
+twice with identical semantics:
+
+- a Spark DataFrame plan ``(spark, sf_dir) -> DataFrame`` (this module)
+- an ANSI-SQL twin DuckDB runs on the same parquet (``ORACLE_SQL``)
+
+Cross-engine determinism rules used throughout (see operators/similarity.py
+for the rationale):
+- the only hash is MD5 (identical in Spark and DuckDB)
+- float aggregation is avoided: sums of doubles are rounded to cents-scale,
+  vector math is quantized to int64 via floor(x*10000) before any arithmetic
+- no raw timestamps/arrays in output — strings/scalars only
+- every computed column aliased identically on both sides
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crawld_spark.functions.extract import extract_links, extract_text, wrap_html
+from crawld_spark.functions.url import canonicalize_url
+from crawld_spark.operators import dedup, similarity, textstats
+from crawld_spark.operators.multimodal import decode_meta_stub
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_SQL: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        _Q[name] = fn
+        if sql is not None:
+            _SQL[name] = sql
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# 1. crawld operator semantics on the TPC-H-ish corpus (SURVEY.md §2)
+# =====================================================================
+
+@q(
+    "frontier_scan_filter",
+    # ≙ S7: work-list scan with pushed-down predicates + projection
+    # (crawld.go:265-304). Note the reference lowercases the COLUMN only
+    # (crawld.go:267-272) — mirrored here.
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_orderkey >= 1000 AND lower(o_orderpriority) IN ('1-urgent', '2-high')
+    """,
+)
+def frontier_scan_filter(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderkey") >= 1000)
+            & F.lower(F.col("o_orderpriority")).isin("1-urgent", "2-high")
+        )
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+@q(
+    "topk_per_group",
+    # ≙ S2: top-N per language sorted by stars (crawlers/github.go:226-291)
+    """
+    SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS total, rk
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders)
+    WHERE rk <= 5
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select(
+            "o_orderpriority", "o_orderkey", F.round("o_totalprice", 2).alias("total"), "rk"
+        )
+    )
+
+
+@q(
+    "global_limit",
+    # ≙ F6 global-limit semantics (crawlers/github.go:121,128-129)
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def global_limit(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+@q(
+    "point_lookup_enrich",
+    # ≙ S3/S5 point lookups + J1 entity↔extension join — broadcast-hash join
+    """
+    SELECT c_custkey, c_name, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey IN (1, 2, 3, 5, 8, 13, 21)
+    """,
+)
+def point_lookup_enrich(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_custkey").isin(1, 2, 3, 5, 8, 13, 21)
+    )
+    nation = _t(spark, sf_dir, "nation")
+    return cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "c_name", "n_name")
+
+
+@q(
+    "set_expansion",
+    # ≙ S6: one key → set of members (org members / contributors)
+    """
+    SELECT c_custkey, o_orderkey
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    WHERE c_custkey < 50
+    """,
+)
+def set_expansion(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 50)
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey).select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@q(
+    "link_if_absent",
+    # ≙ J3/A6: insert-if-absent via left-anti join (crawlers/github.go:809-842)
+    """
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def link_if_absent(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, how="left_anti"
+    ).select("c_custkey")
+
+
+@q(
+    "seen_probe",
+    # ≙ J4: seen-set membership — the keys not yet known
+    """
+    SELECT DISTINCT user_id AS new_key FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+    """,
+)
+def seen_probe(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        ev.join(cust, ev.user_id == cust.c_custkey, how="left_anti")
+        .select(F.col("user_id").alias("new_key"))
+        .distinct()
+    )
+
+
+@q(
+    "merge_upsert",
+    # ≙ A1-A5/S11: MERGE INTO (insert-or-update). Updates win over target.
+    """
+    WITH t AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+         u AS (SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice
+               FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT o_orderkey, round(o_totalprice, 2) AS total FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY src) AS rn FROM (
+        SELECT o_orderkey, o_totalprice, 1 AS src FROM u
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, 2 AS src FROM t))
+    WHERE rn = 1
+    """,
+)
+def merge_upsert(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    target = orders.where(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    updates = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") + 1000).alias("o_totalprice")
+    )
+    survivors = target.join(updates.select("o_orderkey"), "o_orderkey", "left_anti")
+    merged = survivors.unionByName(updates)
+    return merged.select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+
+
+@q(
+    "count_exists",
+    # ≙ A8: COUNT(*) existence aggregate (crawlers/github.go:811-813)
+    """
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_custkey HAVING count(*) > 5
+    """,
+)
+def count_exists(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 5)
+    )
+
+
+@q(
+    "validation_filter",
+    # ≙ F5 verifyRepo: reject rows with null essential fields, count both
+    # lanes (log-and-continue ⇒ reject *count*, crawlers/github.go:190-193)
+    """
+    SELECT o_orderstatus,
+           CAST(sum(CASE WHEN o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+                          AND o_orderdate IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def validation_filter(spark, sf_dir):
+    valid = (
+        F.col("o_custkey").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.when(valid, 1).otherwise(0)).alias("n_valid"),
+            F.count("*").alias("n_total"),
+        )
+    )
+
+
+@q(
+    "scalar_funcs",
+    # ≙ C1 lowercase-join, C2 RFC3339 + zero-time sentinel, C4 bytes→GB
+    # decimal, C5 zero-pad-20 (crawlers/util.go:63-71, crawld.go:252-254,451)
+    """
+    SELECT o_orderkey,
+           lower(concat(o_orderstatus, '/', o_orderpriority)) AS path,
+           strftime(coalesce(o_orderdate, TIMESTAMP '0001-01-01 00:00:00'),
+                    '%Y-%m-%dT%H:%M:%S') || 'Z' AS rfc3339,
+           round(o_totalprice / 1e9, 12) AS gb,
+           printf('%020d', o_orderkey) AS padded
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def scalar_funcs(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 500)
+        .select(
+            "o_orderkey",
+            F.lower(F.concat_ws("/", "o_orderstatus", "o_orderpriority")).alias("path"),
+            F.concat(
+                F.date_format(
+                    F.coalesce(F.col("o_orderdate"), F.lit("0001-01-01").cast("timestamp")),
+                    "yyyy-MM-dd'T'HH:mm:ss",
+                ),
+                F.lit("Z"),
+            ).alias("rfc3339"),
+            F.round(F.col("o_totalprice") / 1e9, 12).alias("gb"),
+            F.format_string("%020d", F.col("o_orderkey")).alias("padded"),
+        )
+    )
+
+
+@q(
+    "error_taxonomy",
+    # ≙ C7: error classification by code + message substring
+    # (crawlers/github.go:1005-1026)
+    """
+    SELECT CASE WHEN event_type = 'error' AND props LIKE '%"k": 6%' THEN 'too_many_calls'
+                WHEN event_type = 'error' THEN 'unavailable'
+                ELSE 'ok' END AS klass,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def error_taxonomy(spark, sf_dir):
+    klass = (
+        F.when(
+            (F.col("event_type") == "error") & F.col("props").like('%"k": 6%'),
+            F.lit("too_many_calls"),
+        )
+        .when(F.col("event_type") == "error", F.lit("unavailable"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(klass.alias("klass"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "two_phase_lang_filter",
+    # ≙ F4 exactly: stage-1 case-SENSITIVE primary match
+    # (crawlers/util.go:96-99), stage-2 case-INSENSITIVE fallback
+    # (crawlers/util.go:85), null → reject (crawlers/util.go:76-78)
+    """
+    SELECT doc_id,
+           CASE WHEN lang IS NULL THEN 'reject'
+                WHEN lang IN ('en', 'de') THEN 'primary'
+                WHEN lower(lang) IN ('fr', 'zh') THEN 'fallback'
+                ELSE 'reject' END AS verdict
+    FROM documents
+    """,
+)
+def two_phase_lang_filter(spark, sf_dir):
+    verdict = (
+        F.when(F.col("lang").isNull(), F.lit("reject"))
+        .when(F.col("lang").isin("en", "de"), F.lit("primary"))
+        .when(F.lower(F.col("lang")).isin("fr", "zh"), F.lit("fallback"))
+        .otherwise(F.lit("reject"))
+    )
+    return _t(spark, sf_dir, "documents").select("doc_id", verdict.alias("verdict"))
+
+
+@q(
+    "round_metrics",
+    # ≙ the rounds-lineage aggregation shape (north_rule: per-partition
+    # lineage + fetch/parse counters) — hash aggregate, map-side combine
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%S') AS hour,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def round_metrics(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd'T'HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@q(
+    "fetch_order",
+    # ≙ O1: the canonical fetch order `ORDER BY id` (crawld.go:275) as an
+    # explicit rank column
+    """
+    SELECT o_orderkey,
+           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS fetch_rank
+    FROM orders WHERE o_custkey < 100
+    """,
+)
+def fetch_order(spark, sf_dir):
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 100)
+        .withColumn("fetch_rank", F.row_number().over(w))
+        .select("o_orderkey", "fetch_rank")
+    )
+
+
+# =====================================================================
+# 2. training-data pipeline operators (dedup / similarity / text)
+# =====================================================================
+
+_DOCS_WITH_DUPS = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+"""
+
+
+def _docs_with_dups(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "text").unionByName(
+        d.where(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+
+
+@q(
+    "dedup_exact",
+    f"""
+    WITH d AS ({_DOCS_WITH_DUPS})
+    SELECT md5(text) AS digest, min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
+    FROM d GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    out = dedup.exact_dedup(_docs_with_dups(spark, sf_dir))
+    return out.select("digest", "keeper_id", "n_copies")
+
+
+_SHINGLES_SQL = """
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 1, 1)),
+               i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS sh
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM d)
+"""
+
+_MINHASH_SQL = f"""
+    WITH d AS ({_DOCS_WITH_DUPS}),
+    sh AS ({_SHINGLES_SQL}),
+    sig AS (
+      SELECT doc_id,
+             list_min(list_transform(sh, s -> md5('seed0:' || s))) AS mh0,
+             list_min(list_transform(sh, s -> md5('seed1:' || s))) AS mh1,
+             list_min(list_transform(sh, s -> md5('seed2:' || s))) AS mh2,
+             list_min(list_transform(sh, s -> md5('seed3:' || s))) AS mh3
+      FROM sh),
+    bands AS (
+      SELECT 0 AS band_id, md5(mh0 || '|' || mh1) AS band_key, doc_id FROM sig
+      UNION ALL
+      SELECT 1 AS band_id, md5(mh2 || '|' || mh3) AS band_key, doc_id FROM sig)
+"""
+
+
+@q(
+    "dedup_minhash_lsh",
+    _MINHASH_SQL
+    + """
+    SELECT band_id, band_key, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM bands GROUP BY band_id, band_key HAVING count(*) > 1
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    buckets = dedup.minhash_lsh_buckets(
+        _docs_with_dups(spark, sf_dir), n_hashes=4, band_size=2, shingle_k=2
+    )
+    return dedup.minhash_candidate_groups(buckets)
+
+
+_SIMHASH_SQL = f"""
+    WITH d AS ({_DOCS_WITH_DUPS}),
+    tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM d),
+    tb AS (SELECT doc_id, md5(w) AS h FROM tok),
+    bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN substr(h, b + 1, 1) IN ('8','9','a','b','c','d','e','f')
+                      THEN 1 ELSE -1 END) AS wgt
+      FROM tb CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) bs
+      GROUP BY doc_id, b)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN wgt > 0 THEN (1 << b) ELSE 0 END) AS INT) AS simhash
+    FROM bits GROUP BY doc_id
+"""
+
+
+@q("dedup_simhash", _SIMHASH_SQL)
+def dedup_simhash(spark, sf_dir):
+    d = _docs_with_dups(spark, sf_dir)
+    return d.select("doc_id", dedup.simhash16(F.col("text")).alias("simhash"))
+
+
+@q(
+    "ngram_jaccard",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents),
+    sh AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS sh FROM d),
+    pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.sh AS sh1, b.sh AS sh2
+              FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1)
+    SELECT d1, d2,
+           CAST(len(list_intersect(sh1, sh2)) AS INT) AS inter,
+           CAST(len(list_distinct(list_concat(sh1, sh2))) AS INT) AS uni,
+           round(CASE WHEN len(list_distinct(list_concat(sh1, sh2))) > 0
+                 THEN len(list_intersect(sh1, sh2)) * 1.0
+                      / len(list_distinct(list_concat(sh1, sh2)))
+                 ELSE 0.0 END, 6) AS jaccard
+    FROM pairs
+    """,
+)
+def ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(F.col("doc_id").alias("d1")).join(
+        docs.select(F.col("doc_id").alias("d2")),
+        F.col("d2") == F.col("d1") + 1,
+    )
+    return dedup.ngram_jaccard_pairs(docs, pairs, n=1)
+
+
+_QUANT_SQL = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+
+_COS_PAIR_SQL = f"""
+    WITH v AS (SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings),
+    pairs AS (SELECT a.vec_id AS v1, b.vec_id AS v2, a.qv AS qv1, b.qv AS qv2
+              FROM v a JOIN v b ON b.vec_id = a.vec_id + 1),
+    flat AS (SELECT v1, v2, unnest(qv1) AS x, unnest(qv2) AS y FROM pairs),
+    dots AS (SELECT v1, v2, CAST(sum(x * y) AS BIGINT) AS dot,
+                    CAST(sum(x * x) AS BIGINT) AS n1, CAST(sum(y * y) AS BIGINT) AS n2
+             FROM flat GROUP BY v1, v2)
+    SELECT v1, v2, round(dot / (sqrt(n1) * sqrt(n2)), 6) AS cos,
+           dot / (sqrt(n1) * sqrt(n2)) > 0.8 AS is_neardup
+    FROM dots
+"""
+
+
+@q("embedding_neardup", _COS_PAIR_SQL)
+def embedding_neardup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("v1"), similarity.quantize("embedding").alias("qv1"))
+    b = emb.select(F.col("vec_id").alias("v2"), similarity.quantize("embedding").alias("qv2"))
+    pairs = a.join(b, F.col("v2") == F.col("v1") + 1)
+    cos = similarity.dot_i(F.col("qv1"), F.col("qv2")) / (
+        F.sqrt(similarity.norm2_i(F.col("qv1")).cast("double"))
+        * F.sqrt(similarity.norm2_i(F.col("qv2")).cast("double"))
+    )
+    return pairs.select(
+        "v1", "v2", F.round(cos, 6).alias("cos"), (cos > 0.8).alias("is_neardup")
+    )
+
+
+_ANN_SQL = f"""
+    WITH q AS (SELECT vec_id AS qid, {_QUANT_SQL} AS qv FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id AS nid, {_QUANT_SQL} AS nv FROM embeddings WHERE vec_id >= 3),
+    flat AS (SELECT qid, nid, unnest(qv) AS x, unnest(nv) AS y FROM q CROSS JOIN c),
+    dots AS (SELECT qid, nid, CAST(sum(x * y) AS BIGINT) AS dot,
+                    CAST(sum(x * x) AS BIGINT) AS nq, CAST(sum(y * y) AS BIGINT) AS nn
+             FROM flat GROUP BY qid, nid),
+    ranked AS (SELECT qid, nid, dot / (sqrt(nq) * sqrt(nn)) AS cos,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY dot / (sqrt(nq) * sqrt(nn)) DESC, nid) AS rank
+               FROM dots)
+    SELECT qid, rank, nid, round(cos, 6) AS cos FROM ranked WHERE rank <= 5
+"""
+
+
+@q("ann_brute_topk", _ANN_SQL)
+def ann_brute_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        emb.where(F.col("vec_id") < 3), emb.where(F.col("vec_id") >= 3), k=5
+    )
+
+
+@q(
+    "lang_id",
+    """
+    WITH s AS (
+      SELECT doc_id,
+        CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+           + (length(p) - length(replace(p, ' and ', ''))) / 5
+           + (length(p) - length(replace(p, ' of ', ''))) / 4 AS INT) AS s_en,
+        CAST((length(p) - length(replace(p, ' der ', ''))) / 5
+           + (length(p) - length(replace(p, ' und ', ''))) / 5
+           + (length(p) - length(replace(p, ' die ', ''))) / 5 AS INT) AS s_de,
+        CAST((length(p) - length(replace(p, ' le ', ''))) / 4
+           + (length(p) - length(replace(p, ' et ', ''))) / 4
+           + (length(p) - length(replace(p, ' les ', ''))) / 5 AS INT) AS s_fr,
+        CAST((length(p) - length(replace(p, ' el ', ''))) / 4
+           + (length(p) - length(replace(p, ' y ', ''))) / 3
+           + (length(p) - length(replace(p, ' los ', ''))) / 5 AS INT) AS s_es
+      FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents))
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'unknown'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS guess
+    FROM s
+    """,
+)
+def lang_id(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", textstats.lang_id_guess(F.col("text")).alias("guess")
+    )
+
+
+@q(
+    "quality_score",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+             length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_punct,
+             CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+                + (length(p) - length(replace(p, ' and ', ''))) / 5
+                + (length(p) - length(replace(p, ' of ', ''))) / 4
+                + (length(p) - length(replace(p, ' der ', ''))) / 5
+                + (length(p) - length(replace(p, ' und ', ''))) / 5
+                + (length(p) - length(replace(p, ' die ', ''))) / 5
+                + (length(p) - length(replace(p, ' le ', ''))) / 4
+                + (length(p) - length(replace(p, ' et ', ''))) / 4
+                + (length(p) - length(replace(p, ' les ', ''))) / 5
+                + (length(p) - length(replace(p, ' el ', ''))) / 4
+                + (length(p) - length(replace(p, ' y ', ''))) / 3
+                + (length(p) - length(replace(p, ' los ', ''))) / 5 AS INT) AS stop_hits
+      FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents)),
+    g AS (
+      SELECT doc_id, n_chars, n_tokens,
+             CASE WHEN n_tokens > 0 THEN (n_chars - (n_tokens - 1)) * 1.0 / n_tokens
+                  ELSE 0.0 END AS avg_tok_len,
+             CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_tokens > 0 THEN stop_hits * 1.0 / n_tokens ELSE 0.0 END AS stop_ratio
+      FROM f)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(avg_tok_len, 6) AS avg_tok_len,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(stop_ratio, 6) AS stop_ratio,
+           round(CASE WHEN n_tokens >= 10 AND n_tokens <= 10000 THEN 0.4 ELSE 0.0 END
+               + CASE WHEN avg_tok_len >= 3 AND avg_tok_len <= 12 THEN 0.3 ELSE 0.0 END
+               + CASE WHEN punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END
+               + CASE WHEN stop_ratio > 0.01 THEN 0.1 ELSE 0.0 END, 2) AS quality
+    FROM g
+    """,
+)
+def quality_score(spark, sf_dir):
+    feats = textstats.quality_features(F.col("text"))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", *[c.alias(k) for k, c in feats.items()]
+    )
+
+
+@q(
+    "token_counts",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_ws,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS INT)
+             AS n_bpe
+    FROM documents
+    """,
+)
+def token_counts(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        textstats.token_count_ws(F.col("text")).cast("int").alias("n_ws"),
+        textstats.token_count_bpe_ish(F.col("text")).cast("int").alias("n_bpe"),
+    )
+
+
+@q(
+    "fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fp_doc,
+           list_min(list_transform(generate_series(1, greatest(length(text) - 3, 1)),
+                                   i -> md5(substr(text, i, 4)))) AS fp_kgram
+    FROM documents
+    """,
+)
+def fingerprint(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        textstats.fingerprint_md5(F.col("text")).alias("fp_doc"),
+        textstats.fingerprint_kgram_min(F.col("text"), 4).alias("fp_kgram"),
+    )
+
+
+# =====================================================================
+# 3. engine UDFs under the oracle gate (canonicalization + extraction)
+# =====================================================================
+
+@q(
+    "url_canonicalize",
+    # oracle states the *specification* (functions/url.py rules) for the
+    # constructed inputs; Spark runs the real pandas UDF
+    """
+    SELECT doc_id,
+           'HTTP://Host' || (doc_id % 7) || '.Example.COM:80/Path/' || doc_id
+             || CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END AS raw_url,
+           'http://host' || (doc_id % 7) || '.example.com/Path/' || doc_id AS canon_url
+    FROM documents
+    """,
+)
+def url_canonicalize(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTP://Host"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM:80/Path/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        raw.alias("raw_url"),
+        canonicalize_url(raw).alias("canon_url"),
+    )
+
+
+@q(
+    "extract_text_roundtrip",
+    # byte-identity through the driver's value-hash: Spark wraps text into
+    # HTML and extracts it back; oracle asserts identity (input_hint gate)
+    "SELECT doc_id, text AS extracted FROM documents",
+)
+def extract_text_roundtrip(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://d/"), F.col("doc_id").cast("string"))
+    links = F.array().cast("array<string>")
+    html = wrap_html(url, F.col("text"), links)
+    return d.select("doc_id", extract_text(html).alias("extracted"))
+
+
+@q(
+    "extract_links_roundtrip",
+    """
+    SELECT doc_id, 'http://a.example.com/' || doc_id || '|http://b.example.com/' || doc_id
+             AS links_joined
+    FROM documents
+    """,
+)
+def extract_links_roundtrip(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://d/"), F.col("doc_id").cast("string"))
+    links = F.array(
+        F.concat(F.lit("http://a.example.com/"), F.col("doc_id").cast("string")),
+        F.concat(F.lit("http://b.example.com/"), F.col("doc_id").cast("string")),
+    )
+    html = wrap_html(url, F.col("text"), links)
+    return d.select(
+        "doc_id", F.concat_ws("|", extract_links(html)).alias("links_joined")
+    )
+
+
+# =====================================================================
+# 4. multimodal plumbing (binary columns through mapInPandas)
+# =====================================================================
+
+@q(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+           CAST((octet_length(encode(text)) * 31) % 480 AS INT) AS height,
+           3 AS channels
+    FROM documents
+    """,
+)
+def multimodal_meta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return decode_meta_stub(d, id_col="doc_id", payload_col="payload")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_Q)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_SQL)

@@ -1,0 +1,47 @@
+"""SparkSession builder with engine defaults.
+
+Everything here is plain public PySpark configuration. AQE is on so skewed
+shuffles (hot hosts) get runtime re-planning on top of our explicit salting
+(SURVEY.md §4.2); Arrow is on because every row-level operator is a
+vectorized pandas UDF (BASELINE.json input_hint: "no per-row Python").
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "crawld_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # ship this package to executors (≙ spark-submit --py-files): Python
+    # workers don't inherit the driver's sys.path, and every engine UDF
+    # closes over package code
+    from crawld_spark.shiplib import ensure_shipped
+
+    ensure_shipped(spark)
+    return spark

@@ -1,0 +1,188 @@
+"""Snapshot-versioned table catalog — the engine's Iceberg stand-in.
+
+On a real cluster the engine state tables (frontier, seen_shards, host_state,
+rounds, fetched — SURVEY.md §1.4) are Iceberg tables and every write is an
+Iceberg `MERGE INTO` / append with an atomic snapshot commit. This sandbox has
+no Iceberg runtime jar, so this module provides the same *contract* on plain
+parquet (SURVEY.md §7.1 fallback), behind one small API so the swap is local:
+
+  - every write produces a new immutable snapshot directory ``<tbl>/v<NNNN>/``
+  - a table's current version is a pointer file ``<tbl>/_VERSION`` written via
+    write-tmp + ``os.replace`` (atomic on POSIX)
+  - a *round commit* (``commit_round``) records {table: version} in the
+    ``_commits`` log **last**, making the multi-table round commit atomic:
+    a crash before the log write leaves orphan snapshots that the next
+    ``restore_last_commit`` simply ignores/rolls back.
+
+This mirrors the reference's checkpointing discipline: crawld records the
+last *completed* id, success-only, after the work is durable
+(/root/reference/crawld.go:236-239, 429-454); resume rolls back to that point
+(crawld.go:412-421).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_PTR = "_VERSION"
+_COMMITS = "_commits.json"
+
+
+class Catalog:
+    """A warehouse of snapshot-versioned parquet tables with atomic
+    multi-table round commits."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    # ---------- paths / versions ----------
+    def _tdir(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def _vdir(self, name: str, version: int) -> str:
+        return os.path.join(self._tdir(name), f"v{version:06d}")
+
+    def current_version(self, name: str) -> int:
+        """0 = table does not exist yet."""
+        ptr = os.path.join(self._tdir(name), _PTR)
+        if not os.path.exists(ptr):
+            return 0
+        with open(ptr) as f:
+            return int(f.read().strip())
+
+    def _set_version(self, name: str, version: int) -> None:
+        tdir = self._tdir(name)
+        os.makedirs(tdir, exist_ok=True)
+        tmp = os.path.join(tdir, _PTR + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(f"{version:020d}")  # zero-pad ≙ crawld.go:451 checkpoint format
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(tdir, _PTR))
+
+    def exists(self, name: str) -> bool:
+        return self.current_version(name) > 0
+
+    # ---------- read / write ----------
+    def read(self, name: str, schema: StructType | None = None) -> DataFrame:
+        v = self.current_version(name)
+        if v == 0:
+            if schema is None:
+                raise FileNotFoundError(f"table {name} does not exist and no schema given")
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(self._vdir(name, v))
+
+    def read_version(self, name: str, version: int) -> DataFrame:
+        return self.spark.read.parquet(self._vdir(name, version))
+
+    def write(self, name: str, df: DataFrame, advance_pointer: bool = True) -> int:
+        """Write a new immutable snapshot; optionally advance the pointer.
+
+        With ``advance_pointer=False`` the snapshot is staged but invisible —
+        a later ``commit_round`` (or explicit ``_set_version``) publishes it.
+        """
+        v = self.current_version(name) + 1
+        # find a free version slot even if orphan snapshots exist from a crash
+        while os.path.exists(self._vdir(name, v)):
+            v += 1
+        df.write.mode("overwrite").parquet(self._vdir(name, v))
+        if advance_pointer:
+            self._set_version(name, v)
+        return v
+
+    def append(self, name: str, df: DataFrame, schema: StructType | None = None,
+               advance_pointer: bool = True) -> int:
+        cur = self.read(name, schema)
+        return self.write(name, cur.unionByName(df, allowMissingColumns=True),
+                          advance_pointer=advance_pointer)
+
+    # ---------- MERGE (Iceberg `MERGE INTO` stand-in; SURVEY.md §2.4) ----------
+    def merge(
+        self,
+        name: str,
+        updates: DataFrame,
+        keys: Iterable[str],
+        schema: StructType | None = None,
+        advance_pointer: bool = True,
+    ) -> int:
+        """``MERGE INTO name USING updates ON keys WHEN MATCHED THEN UPDATE *
+        WHEN NOT MATCHED THEN INSERT *``.
+
+        ≙ the reference's probe-then-INSERT/UPDATE upsert pattern
+        (crawlers/github.go:475-516 and friends), collapsed into one
+        declarative op. Implemented as target-anti-join(updates) ∪ updates so
+        it is a pure DataFrame plan (shuffled hash/sort-merge join on the
+        keys; Catalyst/AQE pick the physical strategy). Updates must be
+        unique on the keys.
+        """
+        keys = list(keys)
+        target = self.read(name, schema)
+        survivors = target.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
+        merged = survivors.unionByName(updates, allowMissingColumns=True)
+        return self.write(name, merged, advance_pointer=advance_pointer)
+
+    # ---------- atomic multi-table round commits ----------
+    def _commits_path(self) -> str:
+        return os.path.join(self.warehouse, _COMMITS)
+
+    def read_commits(self) -> list[dict]:
+        p = self._commits_path()
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return json.load(f)
+
+    def last_committed_round(self) -> int:
+        """≙ read-back of last_fetched_id (crawld.go:412-421). -1 = none."""
+        commits = self.read_commits()
+        return commits[-1]["round_id"] if commits else -1
+
+    def commit_round(self, round_id: int, table_versions: dict[str, int]) -> None:
+        """Publish a round: advance all pointers, then append the commit log
+        entry (the durable marker) atomically. Success-only semantics ≙
+        crawld.go:236-239."""
+        for name, v in table_versions.items():
+            self._set_version(name, v)
+        commits = self.read_commits()
+        commits.append({"round_id": round_id, "tables": dict(table_versions)})
+        tmp = self._commits_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(commits, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._commits_path())
+
+    def restore_last_commit(self) -> int:
+        """Roll every table pointer back to the last committed round's
+        versions (resume path, ≙ crawld.go:412-421). Returns that round_id,
+        or -1 if nothing was ever committed (pointers reset to 0)."""
+        commits = self.read_commits()
+        if not commits:
+            for name in os.listdir(self.warehouse):
+                tdir = self._tdir(name)
+                if os.path.isdir(tdir) and os.path.exists(os.path.join(tdir, _PTR)):
+                    os.remove(os.path.join(tdir, _PTR))
+            return -1
+        last = commits[-1]
+        for name, v in last["tables"].items():
+            self._set_version(name, v)
+        return last["round_id"]
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(self._tdir(name), ignore_errors=True)
+
+
+def with_row_hash(df: DataFrame, cols: Iterable[str], out: str = "row_hash") -> DataFrame:
+    """Stable JVM-side 64-bit hash over columns (xxhash64) — used for
+    shard routing and dedup keys. Never Python ``hash()`` (SURVEY.md §7.7.5).
+    """
+    return df.withColumn(out, F.xxhash64(*[F.col(c) for c in cols]))

@@ -1,0 +1,112 @@
+"""Unit tests for the pure-function layer (mirrors the reference's only real
+unit test, the language-filter table test at
+/root/reference/crawlers/github_test.go:9-38, plus the byte-identity
+invariant)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawld_spark.config import CrawlConfig, parse_duration
+from crawld_spark.functions.extract import (
+    extract_links_one,
+    extract_text_one,
+    wrap_html_one,
+)
+from crawld_spark.functions.hashing import md5_u64, splitmix64
+from crawld_spark.functions.url import canonicalize_one, host_of
+
+
+class TestCanonicalize:
+    @pytest.mark.parametrize(
+        "raw,expect",
+        [
+            ("HTTP://Host.Example.COM:80/p/1#frag", "http://host.example.com/p/1"),
+            ("https://H.com:443", "https://h.com/"),
+            ("h.com/x", "http://h.com/x"),
+            ("h.com", "http://h.com/"),
+            ("http://h.com/a?Q=Up#f", "http://h.com/a?Q=Up"),
+            ("http://h.com:8080/x", "http://h.com:8080/x"),
+            ("  http://h.com/  ", "http://h.com/"),  # trailing spaces inside path kept? no: strip is outer
+            ("", None),
+            (None, None),
+        ],
+    )
+    def test_cases(self, raw, expect):
+        assert canonicalize_one(raw) == expect
+
+    def test_idempotent(self):
+        for raw in ["HTTP://A.com/B#c", "x.com/y?z=1", "https://Q.com:443/r"]:
+            once = canonicalize_one(raw)
+            assert canonicalize_one(once) == once
+
+    def test_host(self):
+        assert host_of("http://a.b.c/d/e") == "a.b.c"
+        assert host_of("http://a.b.c:8080/d") == "a.b.c:8080"
+        assert host_of("http://a.b.c") == "a.b.c"
+
+
+class TestExtraction:
+    def test_roundtrip_simple(self):
+        t = "hello world"
+        h = wrap_html_one("http://x/", t, ["http://a/", "http://b/"])
+        assert extract_text_one(h) == t
+        assert extract_links_one(h) == ["http://a/", "http://b/"]
+
+    def test_roundtrip_entities(self):
+        # adversarial: text already containing entity-looking sequences
+        for t in ["&amp;", "&lt;tag&gt;", "<a> & <b>", "&amp;lt;", "x &copy; y", "é中🎉"]:
+            h = wrap_html_one("http://x/", t, [])
+            assert extract_text_one(h) == t, t
+
+    @given(st.text(max_size=400))
+    @settings(max_examples=200, deadline=None)
+    def test_roundtrip_property(self, t):
+        """escape/unescape must be a *byte-exact* inverse for any text —
+        the input_hint invariant."""
+        h = wrap_html_one("http://x/", t, ["http://l/1"])
+        assert extract_text_one(h) == t
+        assert extract_links_one(h) == ["http://l/1"]
+
+    def test_none(self):
+        assert extract_text_one(None) is None
+        assert extract_links_one(None) is None
+
+
+class TestHashing:
+    def test_md5_u64_stable(self):
+        assert md5_u64("http://a/") == md5_u64("http://a/")
+        assert md5_u64("a") != md5_u64("b")
+
+    def test_splitmix_vectorized(self):
+        x = np.arange(100, dtype=np.uint64)
+        y = splitmix64(x)
+        assert len(set(y.tolist())) == 100
+
+
+class TestConfig:
+    def test_durations(self):
+        assert parse_duration("12h") == 43200
+        assert parse_duration("1h30m") == 5400
+        assert parse_duration("1000ms") == 1.0
+        with pytest.raises(ValueError):
+            parse_duration("12x")
+
+    def test_defaults_match_reference(self):
+        # ≙ config/config.go:174-184 defaults
+        c = CrawlConfig().validate()
+        assert (c.throttler_wait_s, c.throttler_window, c.throttler_leak_s) == (1800.0, 60, 1.0)
+
+    def test_defaulting_rules(self):
+        c = CrawlConfig(max_workers=0, throttler_wait_s=-1).validate()
+        assert c.max_workers == 1  # ≙ config/config.go:170-172
+        assert c.throttler_wait_s == 1800.0
+
+    def test_rejects(self):
+        with pytest.raises(ValueError):
+            CrawlConfig(n_seen_shards=3).validate()
+        with pytest.raises(ValueError):
+            CrawlConfig(round_duration_s=0).validate()
+        with pytest.raises(ValueError):
+            CrawlConfig.from_json('{"nope": 1}')

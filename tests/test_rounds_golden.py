@@ -1,0 +1,204 @@
+"""Golden-trace e2e: the distributed engine must reproduce the pure-Python
+reference simulator *exactly* — crawl ordering, discovery_seq assignment,
+final seen set, frontier statuses, host clocks — under the same seed list and
+politeness budget (north_rule; the crawld analog of its implicit
+`ORDER BY id` ordering contract, /root/reference/crawld.go:275).
+
+Also the byte-identity gate: every fetched text equals the source page text
+byte-for-byte (input_hint), and full resumability (kill between rounds →
+identical final state; ≙ crawld.go:412-421 last_fetched_id resume)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawld_spark.config import CrawlConfig
+from crawld_spark.plans.rounds import CrawlEngine
+from crawld_spark.plans.simulator import simulate
+from crawld_spark.sources.synth_web import (
+    generate_pages,
+    generate_robots,
+    generate_seeds,
+    pages_py,
+    robots_py,
+    seeds_py,
+)
+
+N_PAGES, N_HOSTS, SEED = 120, 8, 42
+
+
+def mk_cfg(warehouse, **kw):
+    base = dict(
+        warehouse=warehouse,
+        round_duration_s=10.0,
+        default_crawl_delay_s=1.0,
+        max_urls_per_host_per_round=8,
+        n_seen_shards=4,
+        cuckoo_capacity_per_shard=1 << 12,
+        bloom_bits=1 << 14,
+        shuffle_partitions=8,
+        salt_buckets=4,
+    )
+    base.update(kw)
+    return CrawlConfig(**base)
+
+
+def build_engine(spark, warehouse, **kw):
+    cfg = mk_cfg(warehouse, **kw)
+    pages = generate_pages(spark, N_PAGES, N_HOSTS, SEED, fanout=3, partitions=4).cache()
+    robots = generate_robots(spark, N_HOSTS, SEED)
+    seeds = generate_seeds(spark, N_PAGES, N_HOSTS, n_seeds=5, seed=SEED)
+    return CrawlEngine(spark, cfg, pages, robots), seeds, cfg
+
+
+def sim_result(cfg, max_rounds=30):
+    return simulate(
+        pages_py(N_PAGES, N_HOSTS, SEED, fanout=3),
+        seeds_py(N_PAGES, N_HOSTS, n_seeds=5, seed=SEED),
+        robots_py(N_HOSTS, cfg.default_crawl_delay_s),
+        cfg,
+        max_rounds=max_rounds,
+    )
+
+
+def engine_trace(engine):
+    rows = (
+        engine.cat.read("fetched")
+        .orderBy("round_id", F.desc("priority"), "discovery_seq")
+        .select("round_id", "url")
+        .collect()
+    )
+    out, cur_round, i = [], None, 0
+    for r in rows:
+        if r.round_id != cur_round:
+            cur_round, i = r.round_id, 0
+        out.append((r.round_id, i, r.url))
+        i += 1
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+class TestGolden:
+    def test_trace_and_state_match_simulator(self, spark, warehouse):
+        engine, seeds, cfg = build_engine(spark, warehouse)
+        engine.run(seeds, max_rounds=30)
+        sim = sim_result(cfg)
+
+        # 1. crawl ordering (round, seq, url) — exact
+        assert engine_trace(engine) == sim.trace
+
+        # 2. URL-seen set + discovery_seq assignment — exact
+        fr = {
+            r.url: (r.priority, r.discovery_seq, r.status)
+            for r in engine.cat.read("frontier").collect()
+        }
+        sim_fr = {
+            u: (row.priority, row.discovery_seq, row.status)
+            for u, row in sim.frontier.items()
+        }
+        assert fr == sim_fr
+
+        # 3. host clocks — exact float match (same arithmetic order)
+        hs = {
+            r.host: (r.next_allowed_vt, r.error_score)
+            for r in engine.cat.read("host_state").collect()
+        }
+        sim_hs = {h: (s.next_allowed_vt, s.error_score) for h, s in sim.hosts.items()}
+        assert hs == sim_hs
+
+    def test_byte_identical_text(self, spark, warehouse):
+        """input_hint: extracted text byte-identical per url vs source."""
+        engine, seeds, cfg = build_engine(spark, warehouse)
+        engine.run(seeds, max_rounds=30)
+        joined = (
+            engine.cat.read("fetched")
+            .alias("f")
+            .join(engine.pages.alias("p"), on="url")
+            .select("url", F.col("f.text").alias("got"), F.col("p.text").alias("want"))
+        )
+        bad = joined.where(
+            F.col("got").isNull() | (F.encode("got", "utf-8") != F.encode("want", "utf-8"))
+        ).count()
+        assert bad == 0
+        assert joined.count() > 0
+
+    def test_language_filter_path(self, spark, warehouse):
+        """languages set → non-matching pages 'filtered', links not followed
+        (≙ isLanguageWanted gating, crawlers/github.go:170-182)."""
+        engine, seeds, cfg = build_engine(spark, warehouse, languages=["en", "de"])
+        engine.run(seeds, max_rounds=30)
+        sim = sim_result(cfg)
+        fr = {r.url: r.status for r in engine.cat.read("frontier").collect()}
+        sim_fr = {u: row.status for u, row in sim.frontier.items()}
+        assert fr == sim_fr
+        assert "filtered" in set(fr.values())
+        assert engine_trace(engine) == sim.trace
+
+    def test_robots_denial(self, spark, warehouse):
+        engine, seeds, cfg = build_engine(spark, warehouse)
+        engine.run(seeds, max_rounds=30)
+        denied = (
+            engine.cat.read("frontier").where(F.col("status") == "denied").collect()
+        )
+        # host3 disallows /p/1* (generate_robots: every 5th host, k%5==3)
+        for r in denied:
+            assert r.host == "host3.example.com" and "/p/1" in r.url
+
+    def test_retry_lane_missing_pages(self, spark, warehouse):
+        """Seeds pointing at nonexistent pages → retry-forever by default
+        (≙ crawld.go:92-95), 'failed' when max_attempts set."""
+        cfg = mk_cfg(warehouse, max_attempts=2)
+        pages = generate_pages(spark, N_PAGES, N_HOSTS, SEED, fanout=3, partitions=4)
+        robots = generate_robots(spark, N_HOSTS, SEED)
+        seeds = spark.createDataFrame(
+            [("http://host0.example.com/p/1", 100.0),
+             ("http://nowhere.example.com/missing", 99.0)],
+            "url string, priority double",
+        )
+        engine = CrawlEngine(spark, cfg, pages, robots)
+        engine.run(seeds, max_rounds=8)
+        row = [
+            r for r in engine.cat.read("frontier").collect()
+            if r.url == "http://nowhere.example.com/missing"
+        ][0]
+        assert row.status == "failed" and row.attempts == 2
+
+
+@pytest.mark.usefixtures("spark")
+class TestResume:
+    def test_kill_and_resume_identical(self, spark, warehouse):
+        """Run k rounds, 'crash', resume → final state identical to an
+        uninterrupted run (SURVEY.md §5.2.5)."""
+        engine, seeds, cfg = build_engine(spark, warehouse)
+        engine.run(seeds, max_rounds=3)  # partial run, then new engine object
+        engine2, _, _ = build_engine(spark, warehouse)
+        engine2.run(None, max_rounds=30)  # resume: no seeds needed
+
+        sim = sim_result(cfg)
+        assert engine_trace(engine2) == sim.trace
+        fr = {
+            r.url: (r.priority, r.discovery_seq, r.status)
+            for r in engine2.cat.read("frontier").collect()
+        }
+        assert fr == {
+            u: (row.priority, row.discovery_seq, row.status)
+            for u, row in sim.frontier.items()
+        }
+
+    def test_uncommitted_round_rolls_back(self, spark, warehouse):
+        """Stage a round's writes without commit → resume ignores them
+        (success-only checkpointing ≙ crawld.go:236-239)."""
+        engine, seeds, cfg = build_engine(spark, warehouse)
+        engine.run(seeds, max_rounds=2)
+        frontier_before = sorted(
+            (r.url, r.status) for r in engine.cat.read("frontier").collect()
+        )
+        # simulate crash mid-round-3: stage a bogus frontier version, advance
+        # its pointer, but never commit
+        bogus = engine.cat.read("frontier").limit(1)
+        engine.cat.write("frontier", bogus, advance_pointer=True)
+        engine2, _, _ = build_engine(spark, warehouse)
+        assert engine2.cat.restore_last_commit() == 2
+        frontier_after = sorted(
+            (r.url, r.status) for r in engine2.cat.read("frontier").collect()
+        )
+        assert frontier_after == frontier_before
