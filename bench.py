@@ -1,0 +1,251 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline query surface at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the engine's own
+headline metric from BASELINE.json: frontier-dedup + schedule throughput
+(URLs/sec) on a deterministic synthetic frontier.
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": <sf>, ...extras}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from crawld_spark.session import get_spark  # noqa: E402
+
+
+# the queries worth timing at sf0.1: the crawl-shaped relational core plus
+# every training-data-pipeline operator family (dedup / similarity / text)
+HEADLINE = [
+    "frontier_scan_filter",
+    "topk_per_group",
+    "point_lookup_enrich",
+    "link_if_absent",
+    "merge_upsert",
+    "seen_probe",
+    "round_metrics",
+    "fetch_order",
+    "extract_text_roundtrip",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ngram_jaccard",
+    "embedding_neardup",
+    "ann_brute_topk",
+    "lang_id",
+    "quality_score",
+    "token_counts",
+    "fingerprint",
+]
+
+# synthetic-frontier scale for the URLs/sec measurement; big enough that JVM
+# fixed costs amortize, small enough for a per-round driver budget
+CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "60000"))
+CRAWL_HOSTS = 64
+CRAWL_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "4"))
+CRAWL_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "2048"))
+
+# frontier-dedup + schedule microbench (BASELINE.json headline metric):
+# raw candidate URLs pushed through bloom→cuckoo admission + politeness
+# scheduling in one wave — no fetch, pure frontier machinery
+FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_FRONTIER_URLS", "1000000"))
+FRONTIER_HOSTS = 1024
+FRONTIER_DUP_RATE = 0.3  # ~30% of raw candidates are duplicates
+
+
+def _frontier_throughput(spark, tag: str) -> dict:
+    """Measure dedup+schedule URLs/sec on FRONTIER_URLS raw candidates.
+
+    The wave: JVM-generated candidate URLs (skewed hosts, ~30% dups) →
+    groupBy(url) dedup → bloom/cuckoo admission (seen-set shards written) →
+    per-host politeness schedule. Wall time covers the full pipeline
+    including the seen-shards snapshot write.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from crawld_spark.config import CrawlConfig
+    from crawld_spark.operators import politeness, seen
+    from crawld_spark.plans.rank import global_rank
+    from crawld_spark.sources.tables import Catalog
+
+    n = FRONTIER_URLS
+    uniq = int(n * (1.0 - FRONTIER_DUP_RATE))
+    cfg = CrawlConfig(
+        round_duration_s=1e9,
+        default_crawl_delay_s=0.0,
+        max_urls_per_host_per_round=1 << 20,
+        n_seen_shards=32,
+        bloom_bits=1 << 24,
+        shuffle_partitions=int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    wh = tempfile.mkdtemp(prefix=f"bench_fr_{tag}_")
+    try:
+        cat = Catalog(spark, wh)
+        # raw candidates, all JVM-side expressions (no Python in generation):
+        # page id collides at rate FRONTIER_DUP_RATE; hosts skewed by pmod(xxhash64)
+        raw = (
+            spark.range(0, n, numPartitions=cfg.shuffle_partitions)
+            .select(
+                F.concat(
+                    F.lit("http://bh"),
+                    F.pmod(F.xxhash64((F.col("id") % uniq)), F.lit(FRONTIER_HOSTS)).cast("string"),
+                    F.lit(".example.com/p/"),
+                    (F.col("id") % uniq).cast("string"),
+                ).alias("url"),
+                (F.pmod(F.xxhash64("id"), F.lit(100)).cast("double")).alias("priority"),
+            )
+        )
+        shards = seen.empty_shards(
+            spark, cfg.n_seen_shards, 1 << 20, cfg.bloom_bits
+        )
+        empty_frontier = spark.createDataFrame([], "url string")
+        robots = spark.createDataFrame(
+            [], "host string, disallow_prefixes array<string>, crawl_delay_s double"
+        )
+        host_state = spark.createDataFrame([], politeness.HOST_STATE_SCHEMA)
+
+        t0 = time.perf_counter()
+        cand = raw.groupBy("url").agg(F.max("priority").alias("priority"))
+        admitted, new_shards = seen.admit_new_urls(
+            spark, cand, shards, empty_frontier, cfg.n_seen_shards, cfg.bloom_bits, 0
+        )
+        n_admitted = admitted.count()
+        cat.write("seen_shards", new_shards)
+        ranked = global_rank(
+            admitted.select("url", "priority"),
+            [F.desc("priority"), F.asc("url")], out="discovery_seq", start=1,
+        )
+        pending = ranked.withColumn(
+            "host", F.regexp_extract("url", r"^https?://([^/]+)", 1)
+        )
+        scheduled = politeness.schedule_round(
+            pending.select("url", "host", "priority", "discovery_seq"),
+            host_state, robots, 1, cfg,
+        )
+        n_sched = scheduled.where(F.col("decision") == "fetch").count()
+        wall = time.perf_counter() - t0
+        return {
+            "frontier_raw_urls": n,
+            "frontier_admitted": n_admitted,
+            "frontier_scheduled": n_sched,
+            "frontier_sec": round(wall, 3),
+            "frontier_urls_per_sec": round(n / wall, 1) if wall > 0 else 0.0,
+        }
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def _run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as contract
+
+    qs = contract.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # full materialization of the plan
+        out[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    return out
+
+
+def _run_crawl(spark, tag: str) -> dict:
+    """One full synthetic crawl: bootstrap + CRAWL_ROUNDS fetch rounds.
+
+    Throughput counts every URL that passed through dedup (bloom→cuckoo
+    admission) + politeness scheduling, matching BASELINE.json's
+    "frontier dedup + schedule throughput (URLs/sec)".
+    """
+    import shutil
+    import tempfile
+
+    from crawld_spark.config import CrawlConfig
+    from crawld_spark.plans.rounds import CrawlEngine
+    from crawld_spark.sources.synth_web import (
+        generate_pages,
+        generate_robots,
+        generate_seeds,
+    )
+
+    wh = tempfile.mkdtemp(prefix=f"bench_wh_{tag}_")
+    try:
+        cfg = CrawlConfig(
+            warehouse=wh,
+            round_duration_s=1e9,  # politeness clock never binds: pure throughput
+            default_crawl_delay_s=0.0,
+            max_urls_per_host_per_round=100_000,
+            n_seen_shards=32,
+            bloom_bits=1 << 22,
+            shuffle_partitions=int(spark.conf.get("spark.sql.shuffle.partitions")),
+            salt_buckets=8,
+        )
+        pages = generate_pages(
+            spark, CRAWL_PAGES, CRAWL_HOSTS, seed=42, fanout=4,
+            partitions=cfg.shuffle_partitions,
+        ).cache()
+        pages.count()  # pre-materialize the simulated web outside the timer
+        robots = generate_robots(spark, CRAWL_HOSTS, seed=42)
+        seeds = generate_seeds(spark, CRAWL_PAGES, CRAWL_HOSTS, n_seeds=CRAWL_SEEDS, seed=42)
+        eng = CrawlEngine(spark, cfg, pages, robots)
+        t0 = time.perf_counter()
+        stats = eng.run(seeds, max_rounds=CRAWL_ROUNDS)
+        wall = time.perf_counter() - t0
+        urls = sum(s["scheduled"] + s["admitted"] for s in stats)
+        pages.unpersist()
+        return {
+            "crawl_sec": round(wall, 3),
+            "crawl_rounds": len(stats),
+            "crawl_urls": urls,
+            "urls_per_sec": round(urls / wall, 1) if wall > 0 else 0.0,
+        }
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    try:
+        queries = _run_queries(spark, sf_dir)
+        crawl = _run_crawl(spark, tag=cpus)
+        frontier = _frontier_throughput(spark, tag=cpus)
+        total = round(
+            sum(queries.values()) + crawl["crawl_sec"] + frontier["frontier_sec"], 3
+        )
+        result = {
+            "metric": "headline queries + frontier dedup/schedule + crawl wall time",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "cpus": int(cpus),
+            **crawl,
+            **frontier,
+        }
+        print(json.dumps(result))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -84,6 +84,10 @@ class CrawlConfig:
     max_workers: int = 1  # informational; Spark parallelism rules execution
     shuffle_partitions: int = 32
     salt_buckets: int = 8  # hot-host skew salting (SURVEY.md §4.2)
+    # politeness scheduler implementation: "native" = pure-Spark window plan
+    # (JVM, whole-stage codegen); "pandas" = groupBy(host).applyInPandas heap.
+    # Semantically identical (tested); native is the scale path.
+    scheduler: str = "native"
     crawl_interval: str = "0s"
     fetch_interval: str = "0s"
 
@@ -108,6 +112,8 @@ class CrawlConfig:
             raise ValueError("bloom_bits must be a power of two >= 64")
         if self.limit < 0 or self.since_seq < 0:
             raise ValueError("limit/since_seq must be >= 0")
+        if self.scheduler not in ("native", "pandas"):
+            raise ValueError("scheduler must be 'native' or 'pandas'")
         # durations must parse (≙ config/config.go:198-204)
         parse_duration(self.crawl_interval)
         parse_duration(self.fetch_interval)

@@ -36,6 +36,7 @@ import heapq
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -139,16 +140,24 @@ def _preselect_host_salt(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
     return pd.concat([denied, fetchable], ignore_index=True)
 
 
-def schedule_round(
-    pending: DataFrame,  # url, host, priority, discovery_seq
-    host_state: DataFrame,  # HOST_STATE_SCHEMA
-    robots: DataFrame,  # host, disallow_prefixes, crawl_delay_s
-    round_id: int,
-    cfg: CrawlConfig,
+_IN_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("host", StringType()),
+        StructField("priority", DoubleType()),
+        StructField("discovery_seq", LongType()),
+        StructField("next_allowed_vt", DoubleType()),
+        StructField("crawl_delay_s", DoubleType()),
+        StructField("error_score", DoubleType()),
+        StructField("last_error_vt", DoubleType()),
+        StructField("disallow_prefixes", ArrayType(StringType())),
+    ]
+)
+
+
+def _enrich_pending(
+    pending: DataFrame, host_state: DataFrame, robots: DataFrame, cfg: CrawlConfig
 ) -> DataFrame:
-    """→ SCHEDULED_SCHEMA rows: the round's fetch list (with virtual fetch
-    times) + robots-denied rows. Unscheduled pending rows simply stay
-    pending in the frontier (no row emitted)."""
     enriched = (
         pending.join(F.broadcast(robots), on="host", how="left")
         .join(
@@ -166,29 +175,118 @@ def schedule_round(
         .withColumn("last_error_vt", F.coalesce("last_error_vt", F.lit(0.0)))
     )
 
-    in_schema = StructType(
-        [
-            StructField("url", StringType()),
-            StructField("host", StringType()),
-            StructField("priority", DoubleType()),
-            StructField("discovery_seq", LongType()),
-            StructField("next_allowed_vt", DoubleType()),
-            StructField("crawl_delay_s", DoubleType()),
-            StructField("error_score", DoubleType()),
-            StructField("last_error_vt", DoubleType()),
-            StructField("disallow_prefixes", ArrayType(StringType())),
-        ]
-    )
-    cols = [f.name for f in in_schema.fields]
-    enriched = enriched.select(*cols)
+    cols = [f.name for f in _IN_SCHEMA.fields]
+    return enriched.select(*cols)
 
+
+def schedule_round(
+    pending: DataFrame,  # url, host, priority, discovery_seq
+    host_state: DataFrame,  # HOST_STATE_SCHEMA
+    robots: DataFrame,  # host, disallow_prefixes, crawl_delay_s
+    round_id: int,
+    cfg: CrawlConfig,
+) -> DataFrame:
+    """→ SCHEDULED_SCHEMA rows: the round's fetch list (with virtual fetch
+    times) + robots-denied rows. Unscheduled pending rows simply stay
+    pending in the frontier (no row emitted).
+
+    Pure-Spark plan (default): the per-host priority queue + crawl-delay
+    clock are a window function — ``k = row_number() over (partition by host
+    order by priority desc, discovery_seq asc) - 1`` gives the pop order, and
+    the k-th fetch of a host lands at virtual time
+    ``max(next_allowed, t_start) + k·delay``, schedulable iff it falls inside
+    the round window and under the per-host budget. Robots allow/deny is
+    ``exists(disallow_prefixes, p -> startswith(path, p))`` — a JVM
+    higher-order function. Everything stays in whole-stage codegen; per-URL
+    Python (the heap in ``schedule_round_pandas``) is only needed if the
+    policy ever becomes non-rankable (e.g. adaptive per-response delays).
+    The two implementations are semantically identical — asserted by
+    tests/test_functions.py — and ``cfg.scheduler`` selects one.
+
+    Skew: the hot host's window partition is pre-trimmed by a first window
+    over (host, salt buckets of xxhash64(url)) keeping only the per-bucket
+    top-budget — no single task ever sorts the whole hot host's pending set
+    (SURVEY.md §4.2).
+    """
+    if cfg.scheduler == "pandas":
+        return schedule_round_pandas(pending, host_state, robots, round_id, cfg)
+
+    t_start = round_id * cfg.round_duration_s
+    t_end = t_start + cfg.round_duration_s
     budget = cfg.max_urls_per_host_per_round
+
+    enriched = _enrich_pending(pending, host_state, robots, cfg)
+    # url path (query string included), '/' when absent — same as the
+    # pandas scheduler's path_of
+    after = F.when(
+        F.instr(F.col("url"), "://") > 0,
+        F.expr("substring(url, instr(url, '://') + 3)"),
+    ).otherwise(F.col("url"))
+    enriched = enriched.withColumn("_after", after).withColumn(
+        "_path",
+        F.when(
+            F.instr(F.col("_after"), "/") > 0,
+            F.expr("substring(_after, instr(_after, '/'))"),
+        ).otherwise(F.lit("/")),
+    )
+    is_denied = F.when(F.col("disallow_prefixes").isNull(), F.lit(False)).otherwise(
+        F.exists("disallow_prefixes", lambda p: F.col("_path").startswith(p))
+    )
+    enriched = enriched.withColumn("_denied", is_denied)
+
+    order = [F.desc("priority"), F.asc("discovery_seq")]
+    fetchable = enriched.where(~F.col("_denied"))
+    # skew pre-trim: top-budget per (host, salt) is a superset of the
+    # per-host top-budget (selection by the same total order commutes)
+    fetchable = (
+        fetchable.withColumn(
+            "_salt", F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets)).cast("int")
+        )
+        .withColumn(
+            "_rk1", F.row_number().over(Window.partitionBy("host", "_salt").orderBy(*order))
+        )
+        .where(F.col("_rk1") <= budget)
+    )
+    k = F.row_number().over(Window.partitionBy("host").orderBy(*order)) - F.lit(1)
+    t0h = F.greatest(F.col("next_allowed_vt"), F.lit(float(t_start)))
+    vt = t0h + k.cast("double") * F.greatest(F.col("crawl_delay_s"), F.lit(1e-9))
+    fetch_rows = (
+        fetchable.withColumn("seq_in_host", k.cast("int"))
+        .withColumn("sched_vt", vt)
+        .where((F.col("sched_vt") < F.lit(float(t_end))) & (F.col("seq_in_host") < budget))
+        .select(
+            "url", "host", "priority", "discovery_seq",
+            F.lit("fetch").alias("decision"), "sched_vt", "seq_in_host",
+        )
+    )
+    denied_rows = enriched.where(F.col("_denied")).select(
+        "url", "host", "priority", "discovery_seq",
+        F.lit("denied").alias("decision"),
+        F.lit(None).cast("double").alias("sched_vt"),
+        F.lit(None).cast("int").alias("seq_in_host"),
+    )
+    return fetch_rows.unionByName(denied_rows)
+
+
+def schedule_round_pandas(
+    pending: DataFrame,
+    host_state: DataFrame,
+    robots: DataFrame,
+    round_id: int,
+    cfg: CrawlConfig,
+) -> DataFrame:
+    """The groupBy(host).applyInPandas scheduler (north_star's prescribed
+    shape): salted pre-select, then the exact per-host heap. Semantically
+    identical to the window plan in ``schedule_round``; kept as the general
+    path for policies a rank can't express, and as the cross-check oracle."""
+    budget = cfg.max_urls_per_host_per_round
+    enriched = _enrich_pending(pending, host_state, robots, cfg)
     salted = enriched.withColumn(
         "salt", F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets)).cast("int")
     )
     phase1 = salted.groupBy("host", "salt").applyInPandas(
         lambda pdf: _preselect_host_salt(pdf.drop(columns=["salt"]), budget),
-        StructType(in_schema.fields),
+        StructType(_IN_SCHEMA.fields),
     )
 
     rd, c = round_id, cfg

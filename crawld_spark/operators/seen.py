@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -107,6 +108,39 @@ class CuckooFilter:
             )
             hit |= ov
         return hit
+
+    def insert_many(self, hs: np.ndarray) -> None:
+        """Vectorized batch insert (pre-checked-absent hashes, caller-sorted
+        for determinism). Two numpy placement passes (bucket i1 then i2,
+        free slots assigned in input order via grouped ranks); only items
+        whose both buckets are full fall back to the per-item kick walk —
+        rare below ~95% load. Deterministic: placement is a pure function of
+        (input order, table state)."""
+        if len(hs) == 0:
+            return
+        hs = hs.astype(np.uint64)
+        fp, i1, i2 = self._fp_idx(hs)
+        occ = (self.table != 0).sum(axis=1).astype(np.int64)
+        remaining = np.arange(len(hs))
+        for idx_arr in (i1, i2):
+            if len(remaining) == 0:
+                break
+            b = idx_arr[remaining]
+            order = np.argsort(b, kind="stable")
+            sb = b[order]
+            first = np.r_[True, sb[1:] != sb[:-1]] if len(sb) else np.zeros(0, bool)
+            grp_start = np.flatnonzero(first)
+            run_len = np.diff(np.r_[grp_start, len(sb)])
+            ranks = np.arange(len(sb)) - np.repeat(grp_start, run_len)
+            slots = occ[sb] + ranks
+            place = slots < BUCKET_SLOTS
+            rows, cols = sb[place], slots[place]
+            self.table[rows, cols] = fp[remaining][order][place]
+            np.add.at(occ, rows, 1)
+            remaining = remaining[order][~place]
+        self.n_items += len(hs) - len(remaining)
+        for j in remaining:  # full buckets → exact kick walk (rare)
+            self.insert(int(hs[j]))
 
     def insert(self, h: int) -> None:
         """Insert one pre-checked-absent hash. Deterministic kicks."""
@@ -206,12 +240,19 @@ class Bloom:
         self.words |= other.words
 
 
+def _seg_bits(bloom_bits: int, n_shards: int) -> int:
+    """Per-shard bloom segment size: the global ``bloom_bits`` budget is
+    partitioned across shards (shard routing is deterministic on h, so each
+    shard's segment only ever sees its own hashes — same FP math as one big
+    bloom, 1/n_shards the storage per blob)."""
+    return max(64, bloom_bits // n_shards)
+
+
 def empty_shards(spark: SparkSession, n_shards: int, capacity: int, bloom_bits: int) -> DataFrame:
+    seg = _seg_bits(bloom_bits, n_shards)
     rows = []
     for s in range(n_shards):
-        rows.append(
-            (s, CuckooFilter(capacity).to_bytes(), Bloom(bloom_bits).to_bytes(), 0, 0)
-        )
+        rows.append((s, CuckooFilter(capacity).to_bytes(), Bloom(seg).to_bytes(), 0, 0))
     return spark.createDataFrame(rows, SEEN_SHARDS_SCHEMA)
 
 
@@ -222,97 +263,146 @@ def with_url_hash(df: DataFrame, n_shards: int, url_col: str = "url") -> DataFra
     )
 
 
-def global_bloom_bytes(shards_df: DataFrame, bloom_bits: int) -> bytes:
-    """Driver-side OR of the (column-pruned) per-shard blooms → the broadcast
-    pre-pass filter. Reads only the bloom column (Parquet column pruning:
-    cuckoo blobs are never fetched to the driver)."""
-    g = Bloom(bloom_bits)
-    for row in shards_df.select("bloom").collect():
-        if row["bloom"]:
-            g.union_bytes(bytes(row["bloom"]))
-    return g.to_bytes()
+class PartitionedBloom:
+    """The broadcast tier-1 pre-pass: every shard's bloom segment,
+    concatenated into one (n_shards × seg_words) matrix. Probe routes by the
+    same pmod(h, n_shards) the shard shuffle uses, so one lookup touches one
+    segment — identical FP math to a single global bloom of
+    n_shards × seg_bits bits, but assembled from per-shard blobs with no OR
+    pass and rebuilt incrementally per round."""
+
+    def __init__(self, n_shards: int, seg_bits: int, matrix: np.ndarray | None = None):
+        self.n_shards = n_shards
+        self.seg_bits = seg_bits
+        self.matrix = (
+            matrix
+            if matrix is not None
+            else np.zeros((n_shards, seg_bits // 64), dtype=np.uint64)
+        )
+
+    @classmethod
+    def from_shard_blobs(cls, blobs: list[tuple[int, bytes]], n_shards: int) -> "PartitionedBloom":
+        first = Bloom.from_bytes(blobs[0][1])
+        pb = cls(n_shards, first.m)
+        for shard_id, blob in blobs:
+            pb.matrix[shard_id] = Bloom.from_bytes(blob).words
+        return pb
+
+    def to_bytes(self) -> bytes:
+        return struct.pack("<qq", self.n_shards, self.seg_bits) + self.matrix.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "PartitionedBloom":
+        n_shards, seg_bits = struct.unpack_from("<qq", blob, 0)
+        matrix = (
+            np.frombuffer(blob, dtype=np.uint64, offset=16)
+            .reshape(n_shards, seg_bits // 64)
+            .copy()
+        )
+        return cls(n_shards, seg_bits, matrix)
+
+    def contains_many(self, h: np.ndarray, shard: np.ndarray) -> np.ndarray:
+        if len(h) == 0:
+            return np.zeros(0, dtype=bool)
+        seg = Bloom(self.seg_bits)  # reuse its position math per row block
+        pos = seg._positions(h.astype(np.uint64))  # (n, K) bit positions
+        words = self.matrix[shard.astype(np.int64)[:, None],
+                            (pos >> np.uint64(6)).astype(np.int64)]
+        bits = (words >> (pos & np.uint64(63))) & np.uint64(1)
+        return bits.all(axis=1)
 
 
-def bloom_maybe_seen_col(spark: SparkSession, bloom_bytes: bytes):
-    """Returns a pandas-UDF column fn: h:int64 -> bool (bloom membership).
-    The blob rides to executors via an sc.broadcast (read once per worker)."""
-    bc = spark.sparkContext.broadcast(bloom_bytes)
-
-    @F.pandas_udf(BooleanType())
-    def maybe_seen(h: pd.Series) -> pd.Series:
-        bloom = Bloom.from_bytes(bc.value)
-        return pd.Series(bloom.contains_many(h.to_numpy(dtype=np.int64).view(np.uint64)))
-
-    return maybe_seen
+def global_bloom_bytes(shards_df: DataFrame, n_shards: int) -> bytes:
+    """Driver-side assembly of the broadcast pre-pass filter. Reads only the
+    (column-pruned) bloom segments — cuckoo blobs never reach the driver."""
+    blobs = [
+        (int(r["shard_id"]), bytes(r["bloom"]))
+        for r in shards_df.select("shard_id", "bloom").collect()
+    ]
+    return PartitionedBloom.from_shard_blobs(blobs, n_shards).to_bytes()
 
 
-_PROBE_SCHEMA = StructType(
+# single-pass admission output: url verdict rows + updated shard blob rows
+# share one schema (applyInPandas emits exactly one schema), discriminated
+# by `kind`
+_ADMIT_SCHEMA = StructType(
     [
-        StructField("url", StringType(), False),
-        StructField("h", LongType(), False),
+        StructField("kind", StringType(), False),  # new | suspect | blob
+        StructField("url", StringType(), True),
+        StructField("h", LongType(), True),
         StructField("shard", IntegerType(), False),
-        StructField("cuckoo_seen", BooleanType(), False),
+        StructField("priority", DoubleType(), True),
+        StructField("cuckoo", BinaryType(), True),
+        StructField("bloom", BinaryType(), True),
+        StructField("n_items", LongType(), True),
     ]
 )
 
 
-def cuckoo_probe(candidates: DataFrame, shards: DataFrame) -> DataFrame:
-    """Cogrouped probe: (url,h,shard) × seen_shards → +cuckoo_seen."""
+def probe_insert_cogroup(candidates: DataFrame, shards: DataFrame) -> DataFrame:
+    """ONE cogrouped pass per round: probe every candidate against its
+    shard's cuckoo filter, insert the new ones, and emit the updated blob —
+    a single shuffle of (candidates ∪ shards) where the naive
+    probe-then-insert design shuffles both twice and joins priorities back.
 
-    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if left.empty:
-            return pd.DataFrame(columns=["url", "h", "shard", "cuckoo_seen"])
-        if right.empty:
-            seen = np.zeros(len(left), dtype=bool)
-        else:
-            cf = CuckooFilter.from_bytes(bytes(right["cuckoo"].iloc[0]))
-            seen = cf.contains_many(left["h"].to_numpy(dtype=np.int64).view(np.uint64))
-        return pd.DataFrame(
-            {"url": left["url"], "h": left["h"], "shard": left["shard"], "cuckoo_seen": seen}
-        )
+    Exactness invariants (why this is safe — see admit_new_urls):
+      - cuckoo has no false negatives → 'new' rows are definitely unseen;
+      - 'suspect' rows (cuckoo-positive) may be false positives → rescued
+        downstream by the exact anti-join against the frontier;
+      - bloom segments absorb ALL candidate hashes (new + suspect), so a
+        rescued false positive is bloom-covered and routes through the
+        suspect lane forever after (frontier ⊆ bloom at every round
+        boundary).
 
-    return (
-        candidates.select("url", "h", "shard")
-        .groupBy("shard")
-        .cogroup(shards.groupBy("shard_id"))
-        .applyInPandas(probe, _PROBE_SCHEMA)
-    )
+    Determinism/idempotency (SURVEY.md §7.7.1): inserts sorted by (h, url);
+    a replayed task rewrites byte-identical blobs.
+    """
 
-
-def cuckoo_insert(admitted: DataFrame, shards: DataFrame, round_id: int) -> DataFrame:
-    """Cogrouped insert of admitted hashes → new seen_shards rows (all
-    shards, including untouched ones). Deterministic + idempotent: input
-    sorted by (h, url); replay rewrites identical bytes."""
-
-    def ins(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         assert not right.empty, "seen_shards must be bootstrapped for every shard"
         row = right.iloc[0]
+        shard_id = int(row["shard_id"])
         cf = CuckooFilter.from_bytes(bytes(row["cuckoo"]))
         bloom = Bloom.from_bytes(bytes(row["bloom"]))
+        out = {k: [] for k in ("kind", "url", "h", "shard", "priority",
+                               "cuckoo", "bloom", "n_items")}
         n_new = 0
         if not left.empty:
             ordered = left.sort_values(["h", "url"], kind="mergesort")
             hs = ordered["h"].to_numpy(dtype=np.int64).view(np.uint64)
-            fresh = ~cf.contains_many(hs)
-            for h in hs[fresh]:
-                cf.insert(int(h))
-                n_new += 1
-            bloom.add_many(hs)
-        return pd.DataFrame(
-            {
-                "shard_id": [int(row["shard_id"])],
-                "cuckoo": [cf.to_bytes()],
-                "bloom": [bloom.to_bytes()],
-                "n_items": [int(row["n_items"]) + n_new],
-                "round_id": [round_id],
-            }
-        )
+            # tier-1 shortcut: bloom-negative rows are definitely new — only
+            # bloom-positive suspects pay the cuckoo probe
+            maybe = ordered["bloom_seen"].to_numpy(dtype=bool)
+            seen = np.zeros(len(ordered), dtype=bool)
+            if maybe.any():
+                seen[maybe] = cf.contains_many(hs[maybe])
+            cf.insert_many(hs[~seen])
+            n_new = int((~seen).sum())
+            bloom.add_many(hs)  # all candidates: keeps frontier ⊆ bloom
+            kinds = np.where(seen, "suspect", "new")
+            out["kind"] = list(kinds)
+            out["url"] = list(ordered["url"])
+            out["h"] = list(ordered["h"])
+            out["shard"] = [shard_id] * len(ordered)
+            out["priority"] = list(ordered["priority"])
+            out["cuckoo"] = [None] * len(ordered)
+            out["bloom"] = [None] * len(ordered)
+            out["n_items"] = [None] * len(ordered)
+        out["kind"].append("blob")
+        out["url"].append(None)
+        out["h"].append(None)
+        out["shard"].append(shard_id)
+        out["priority"].append(None)
+        out["cuckoo"].append(cf.to_bytes())
+        out["bloom"].append(bloom.to_bytes())
+        out["n_items"].append(int(row["n_items"]) + n_new)
+        return pd.DataFrame(out)
 
     return (
-        admitted.select("url", "h", "shard")
+        candidates.select("url", "h", "shard", "priority", "bloom_seen")
         .groupBy("shard")
         .cogroup(shards.groupBy("shard_id"))
-        .applyInPandas(ins, SEEN_SHARDS_SCHEMA)
+        .applyInPandas(fn, _ADMIT_SCHEMA)
     )
 
 
@@ -325,33 +415,55 @@ def admit_new_urls(
     bloom_bits: int,
     round_id: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
-    """Full three-tier admission. Returns (admitted(url, priority, h, shard),
-    new_shards). ``candidates`` must already be unique on url (caller
-    pre-aggregates max(priority))."""
+    """Full three-tier admission in one shuffle. Returns
+    (admitted(url, h, shard, priority), new_shards). ``candidates`` must
+    already be unique on url (caller pre-aggregates max(priority)).
+
+    Tiers: (1) broadcast partitioned bloom marks bloom-negative candidates
+    definitely-new (skips their probes); (2) the cogrouped cuckoo
+    probe+insert splits new/suspect and rewrites shard blobs; (3) suspects
+    anti-join the frontier — survivors are cuckoo false positives, admitted
+    (and bloom-covered, so they route as suspects forever after).
+
+    At 10^10-URL scale the frontier side of the tier-3 anti-join is bucketed
+    by the same pmod(xxhash64(url), n_shards) in Iceberg, making it a
+    storage-partitioned join (no frontier shuffle); suspects are a tiny
+    fraction (cuckoo FP ≈ 2·slots/2^16 ≈ 0.012%) so AQE broadcasts them.
+    """
     cand = with_url_hash(candidates, n_shards)
 
-    bloom_bytes = global_bloom_bytes(shards, bloom_bits)
-    maybe_seen = bloom_maybe_seen_col(spark, bloom_bytes)
-    cand = cand.withColumn("bloom_seen", maybe_seen(F.col("h"))).cache()
+    bc = spark.sparkContext.broadcast(global_bloom_bytes(shards, n_shards))
 
-    definite_new = cand.where(~F.col("bloom_seen"))  # tier 1 fast path
-    suspects = cand.where(F.col("bloom_seen"))
+    @F.pandas_udf(BooleanType())
+    def maybe_seen(h: pd.Series, shard: pd.Series) -> pd.Series:
+        pb = PartitionedBloom.from_bytes(bc.value)
+        return pd.Series(
+            pb.contains_many(
+                h.to_numpy(dtype=np.int64).view(np.uint64),
+                shard.to_numpy(dtype=np.int64),
+            )
+        )
 
-    probed = cuckoo_probe(suspects, shards)  # tier 2
-    cuckoo_new = probed.where(~F.col("cuckoo_seen")).select("url", "h", "shard")
-    residue = probed.where(F.col("cuckoo_seen")).select("url", "h", "shard")
+    cand = cand.withColumn("bloom_seen", maybe_seen(F.col("h"), F.col("shard")))
 
+    out = probe_insert_cogroup(cand, shards).cache()
+    new = out.where(F.col("kind") == "new")
+    suspects = out.where(F.col("kind") == "suspect")
     # tier 3: exact — survivors of the anti-join are cuckoo false positives
-    fp_survivors = residue.join(frontier_urls.select("url"), on="url", how="left_anti")
+    fp_survivors = suspects.join(frontier_urls.select("url"), on="url", how="left_anti")
 
-    admitted_keys = (
-        definite_new.select("url", "h", "shard")
-        .unionByName(cuckoo_new)
-        .unionByName(fp_survivors)
+    # cached: consumed by several downstream actions per round (count,
+    # frontier write) — without a cache the chain would recompute each time
+    admitted = (
+        new.unionByName(fp_survivors)
+        .select("url", "h", "shard", "priority")
+        .cache()
     )
-    admitted = admitted_keys.join(
-        candidates.select("url", "priority"), on="url", how="inner"
+    new_shards = out.where(F.col("kind") == "blob").select(
+        F.col("shard").alias("shard_id"),
+        "cuckoo",
+        "bloom",
+        F.col("n_items").cast("long").alias("n_items"),
+        F.lit(round_id).alias("round_id"),
     )
-
-    new_shards = cuckoo_insert(admitted, shards, round_id=round_id)
     return admitted, new_shards

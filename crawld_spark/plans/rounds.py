@@ -25,6 +25,8 @@ ties impossible. Re-running any round is idempotent.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -160,6 +162,15 @@ class CrawlEngine:
         """Execute fetch round `round_id` (≥1). Returns counters. Idempotent:
         re-running after a crash before commit produces the same commit."""
         cfg, cat, spark = self.cfg, self.cat, self.spark
+        tm: dict[str, float] = {}
+        t0 = time.perf_counter()
+
+        def mark(name: str) -> None:
+            nonlocal t0
+            now = time.perf_counter()
+            tm[name] = round(now - t0, 3)
+            t0 = now
+
         frontier = cat.read(T_FRONTIER).cache()
         host_state = cat.read(T_HOST, politeness.HOST_STATE_SCHEMA)
         robots = cat.read(T_ROBOTS)
@@ -189,6 +200,9 @@ class CrawlEngine:
 
         fetch_list = scheduled.where(F.col("decision") == "fetch")
         denied = scheduled.where(F.col("decision") == "denied")
+        n_sched = fetch_list.count()  # materializes the schedule once
+        denied_cnt = denied.count()  # cached — cheap
+        mark("schedule")
 
         # ---- the fetch: LEFT JOIN against the simulated web (J5) ----
         got = (
@@ -222,6 +236,8 @@ class CrawlEngine:
             "fetch_status",
         )
         fetched_rows = fetched_rows.cache()
+        n_fetched = fetched_rows.count()  # materializes fetch + extraction once
+        mark("fetch_extract")
 
         # ---- frontier admission of newly discovered links ----
         cand = (
@@ -239,7 +255,8 @@ class CrawlEngine:
             cfg.n_seen_shards, cfg.bloom_bits, round_id=round_id,
         )
         max_seq = frontier.agg(F.max("discovery_seq")).collect()[0][0] or 0
-        admitted_cnt = admitted.count()
+        admitted_cnt = admitted.count()  # materializes the admission chain once
+        mark("admit")
         if admitted_cnt > 0:
             ranked = global_rank(
                 admitted.select("url", "priority"),
@@ -323,7 +340,6 @@ class CrawlEngine:
             .withColumn("denied", F.lit(0).cast("long"))
             .select([f.name for f in ROUNDS_SCHEMA.fields])
         )
-        denied_cnt = denied.count()
         if denied_cnt:
             denied_row = spark.createDataFrame(
                 [(round_id, -1, 0, 0, 0, 0, denied_cnt)], ROUNDS_SCHEMA
@@ -331,20 +347,22 @@ class CrawlEngine:
             lineage = lineage.unionByName(denied_row)
 
         # ---- stage writes, then atomic commit (success-only ≙ crawld.go:236-239)
-        versions = {
-            T_FRONTIER: cat.write(T_FRONTIER, fr_upd, advance_pointer=False),
-            T_SEEN: cat.write(T_SEEN, new_shards, advance_pointer=False),
-            T_HOST: cat.write(T_HOST, hs_new, advance_pointer=False),
-            T_FETCHED: cat.append(T_FETCHED, fetched_rows, FETCHED_SCHEMA,
-                                  advance_pointer=False),
-            T_ROUNDS: cat.append(T_ROUNDS, lineage, ROUNDS_SCHEMA, advance_pointer=False),
-            T_ROBOTS: cat.current_version(T_ROBOTS),
-        }
-        n_fetched = fetched_rows.count()
-        n_sched = fetch_list.count()
+        versions = {}
+        versions[T_FRONTIER] = cat.write(T_FRONTIER, fr_upd, advance_pointer=False)
+        mark("write_frontier")
+        versions[T_SEEN] = cat.write(T_SEEN, new_shards, advance_pointer=False)
+        mark("write_seen")
+        versions[T_HOST] = cat.write(T_HOST, hs_new, advance_pointer=False)
+        mark("write_host")
+        versions[T_FETCHED] = cat.append(T_FETCHED, fetched_rows, FETCHED_SCHEMA,
+                                         advance_pointer=False)
+        versions[T_ROUNDS] = cat.append(T_ROUNDS, lineage, ROUNDS_SCHEMA,
+                                        advance_pointer=False)
+        versions[T_ROBOTS] = cat.current_version(T_ROBOTS)
+        mark("write_logs")
         cat.commit_round(round_id, versions)
 
-        for df in (frontier, scheduled, got, fetched_rows):
+        for df in (frontier, scheduled, got, fetched_rows, admitted):
             df.unpersist()
         return {
             "round_id": round_id,
@@ -352,6 +370,7 @@ class CrawlEngine:
             "fetched": n_fetched,
             "denied": denied_cnt,
             "admitted": admitted_cnt,
+            "timings": tm,
         }
 
     # ---------------- full crawl ----------------

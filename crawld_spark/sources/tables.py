@@ -6,7 +6,12 @@ Iceberg `MERGE INTO` / append with an atomic snapshot commit. This sandbox has
 no Iceberg runtime jar, so this module provides the same *contract* on plain
 parquet (SURVEY.md §7.1 fallback), behind one small API so the swap is local:
 
-  - every write produces a new immutable snapshot directory ``<tbl>/v<NNNN>/``
+  - every write produces a new immutable snapshot = a manifest file
+    ``<tbl>/v<NNNN>.json`` listing immutable data directories
+    ``<tbl>/d<NNNN>/``; an **append writes only its delta directory** and a
+    manifest that extends the previous one (Iceberg's append semantics — the
+    alternative, read-union-rewrite, is O(table) per round and O(rounds²)
+    over a crawl: a non-starter for the ``fetched``/``rounds`` logs at scale)
   - a table's current version is a pointer file ``<tbl>/_VERSION`` written via
     write-tmp + ``os.replace`` (atomic on POSIX)
   - a *round commit* (``commit_round``) records {table: version} in the
@@ -48,8 +53,24 @@ class Catalog:
     def _tdir(self, name: str) -> str:
         return os.path.join(self.warehouse, name)
 
-    def _vdir(self, name: str, version: int) -> str:
-        return os.path.join(self._tdir(name), f"v{version:06d}")
+    def _manifest_path(self, name: str, version: int) -> str:
+        return os.path.join(self._tdir(name), f"v{version:06d}.json")
+
+    def _ddir(self, name: str, version: int) -> str:
+        return os.path.join(self._tdir(name), f"d{version:06d}")
+
+    def _read_manifest(self, name: str, version: int) -> list[str]:
+        with open(self._manifest_path(name, version)) as f:
+            return json.load(f)["data_dirs"]
+
+    def _write_manifest(self, name: str, version: int, data_dirs: list[str]) -> None:
+        p = self._manifest_path(name, version)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "data_dirs": data_dirs}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, p)
 
     def current_version(self, name: str) -> int:
         """0 = table does not exist yet."""
@@ -79,10 +100,11 @@ class Catalog:
             if schema is None:
                 raise FileNotFoundError(f"table {name} does not exist and no schema given")
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(self._vdir(name, v))
+        return self.read_version(name, v)
 
     def read_version(self, name: str, version: int) -> DataFrame:
-        return self.spark.read.parquet(self._vdir(name, version))
+        dirs = [os.path.join(self._tdir(name), d) for d in self._read_manifest(name, version)]
+        return self.spark.read.parquet(*dirs)
 
     def write(self, name: str, df: DataFrame, advance_pointer: bool = True) -> int:
         """Write a new immutable snapshot; optionally advance the pointer.
@@ -90,20 +112,36 @@ class Catalog:
         With ``advance_pointer=False`` the snapshot is staged but invisible —
         a later ``commit_round`` (or explicit ``_set_version``) publishes it.
         """
-        v = self.current_version(name) + 1
-        # find a free version slot even if orphan snapshots exist from a crash
-        while os.path.exists(self._vdir(name, v)):
-            v += 1
-        df.write.mode("overwrite").parquet(self._vdir(name, v))
+        v = self._next_free_version(name)
+        ddir = self._ddir(name, v)
+        df.write.mode("overwrite").parquet(ddir)
+        self._write_manifest(name, v, [os.path.basename(ddir)])
         if advance_pointer:
             self._set_version(name, v)
         return v
 
+    def _next_free_version(self, name: str) -> int:
+        # find a free version slot even if orphan snapshots exist from a crash
+        v = self.current_version(name) + 1
+        while os.path.exists(self._manifest_path(name, v)) or os.path.exists(
+            self._ddir(name, v)
+        ):
+            v += 1
+        return v
+
     def append(self, name: str, df: DataFrame, schema: StructType | None = None,
                advance_pointer: bool = True) -> int:
-        cur = self.read(name, schema)
-        return self.write(name, cur.unionByName(df, allowMissingColumns=True),
-                          advance_pointer=advance_pointer)
+        """Iceberg-style append: write ONLY the delta data dir; the new
+        manifest = previous manifest + delta. O(delta), never O(table)."""
+        cur_v = self.current_version(name)
+        base = self._read_manifest(name, cur_v) if cur_v > 0 else []
+        v = self._next_free_version(name)
+        ddir = self._ddir(name, v)
+        df.write.mode("overwrite").parquet(ddir)
+        self._write_manifest(name, v, base + [os.path.basename(ddir)])
+        if advance_pointer:
+            self._set_version(name, v)
+        return v
 
     # ---------- MERGE (Iceberg `MERGE INTO` stand-in; SURVEY.md §2.4) ----------
     def merge(

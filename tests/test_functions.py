@@ -110,3 +110,62 @@ class TestConfig:
             CrawlConfig(round_duration_s=0).validate()
         with pytest.raises(ValueError):
             CrawlConfig.from_json('{"nope": 1}')
+
+
+@pytest.mark.usefixtures("spark")
+class TestSchedulerEquivalence:
+    """The pure-Spark window scheduler and the applyInPandas heap scheduler
+    must be row-identical on every input (same fetch set, same virtual
+    times, same denied set)."""
+
+    def test_native_equals_pandas(self, spark):
+        from crawld_spark.operators.politeness import (
+            HOST_STATE_SCHEMA,
+            schedule_round,
+            schedule_round_pandas,
+        )
+
+        rows = []
+        seq = 0
+        for h in range(6):
+            host = f"host{h}.example.com"
+            for i in range(40 if h == 0 else 7):  # host0 is hot
+                seq += 1
+                rows.append(
+                    (f"http://{host}/p/{i}", host, float((i * 13) % 11), seq)
+                )
+        pending = spark.createDataFrame(
+            rows, "url string, host string, priority double, discovery_seq long"
+        )
+        robots = spark.createDataFrame(
+            [
+                ("host1.example.com", ["/p/1", "/p/2"], 2.0),
+                ("host3.example.com", [], 5.0),
+            ],
+            "host string, disallow_prefixes array<string>, crawl_delay_s double",
+        )
+        host_state = spark.createDataFrame(
+            [("host0.example.com", 95.0, 1.0, 0.0, 0.0)], HOST_STATE_SCHEMA
+        )
+        cfg = CrawlConfig(
+            round_duration_s=30.0,
+            default_crawl_delay_s=1.5,
+            max_urls_per_host_per_round=10,
+            salt_buckets=4,
+        ).validate()
+
+        def norm(df):
+            return sorted(
+                (
+                    r.url, r.host, r.priority, r.discovery_seq, r.decision,
+                    None if r.sched_vt is None else round(r.sched_vt, 9),
+                    r.seq_in_host,
+                )
+                for r in df.collect()
+            )
+
+        for round_id in (1, 3):
+            a = norm(schedule_round(pending, host_state, robots, round_id, cfg))
+            b = norm(schedule_round_pandas(pending, host_state, robots, round_id, cfg))
+            assert a == b, f"round {round_id}: native != pandas"
+        assert len(norm(schedule_round(pending, host_state, robots, 1, cfg))) > 0

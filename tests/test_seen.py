@@ -118,3 +118,33 @@ class TestAdmission:
         # stable across evaluations
         out2 = with_url_hash(df, 8).collect()
         assert {r.url: r.h for r in out} == {r.url: r.h for r in out2}
+
+
+class TestInsertMany:
+    def test_membership_equivalent_to_per_item(self):
+        rng = np.random.Generator(np.random.PCG64(11))
+        hs = np.unique(rng.integers(1, 2**63, size=5000, dtype=np.int64).view(np.uint64))
+        a, b = CuckooFilter(1 << 13), CuckooFilter(1 << 13)
+        a.insert_many(hs)
+        for h in hs:
+            b.insert(int(h))
+        assert a.contains_many(hs).all()
+        assert a.n_items == b.n_items == len(hs)
+        absent = hs + np.uint64(2**63)
+        assert a.contains_many(absent).mean() < 0.01
+
+    def test_deterministic(self):
+        hs = np.sort((np.arange(1, 3000, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+        blobs = []
+        for _ in range(2):
+            cf = CuckooFilter(1 << 11)
+            cf.insert_many(hs)
+            blobs.append(cf.to_bytes())
+        assert blobs[0] == blobs[1]
+
+    def test_overflow_fallback_exact(self):
+        cf = CuckooFilter(8)
+        hs = np.arange(1, 500, dtype=np.uint64) * np.uint64(2654435761)
+        cf.insert_many(hs)
+        assert cf.contains_many(hs).all()
+        assert cf.n_items == len(hs)
