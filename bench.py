@@ -116,17 +116,28 @@ def _frontier_throughput(spark, tag: str) -> dict:
         )
         host_state = spark.createDataFrame([], politeness.HOST_STATE_SCHEMA)
 
-        t0 = time.perf_counter()
+        stage: dict[str, float] = {}
+        t0 = t = time.perf_counter()
+
+        def mark(name: str) -> None:
+            nonlocal t
+            now = time.perf_counter()
+            stage[name] = round(now - t, 3)
+            t = now
+
         cand = raw.groupBy("url").agg(F.max("priority").alias("priority"))
         admitted, new_shards = seen.admit_new_urls(
             spark, cand, shards, empty_frontier, cfg.n_seen_shards, cfg.bloom_bits, 0
         )
         n_admitted = admitted.count()
+        mark("dedup_admit")
         cat.write("seen_shards", new_shards)
+        mark("shards_write")
         ranked = global_rank(
             admitted.select("url", "priority"),
             [F.desc("priority"), F.asc("url")], out="discovery_seq", start=1,
         )
+        mark("rank")
         pending = ranked.withColumn(
             "host", F.regexp_extract("url", r"^https?://([^/]+)", 1)
         )
@@ -135,6 +146,7 @@ def _frontier_throughput(spark, tag: str) -> dict:
             host_state, robots, 1, cfg,
         )
         n_sched = scheduled.where(F.col("decision") == "fetch").count()
+        mark("schedule")
         wall = time.perf_counter() - t0
         return {
             "frontier_raw_urls": n,
@@ -142,6 +154,7 @@ def _frontier_throughput(spark, tag: str) -> dict:
             "frontier_scheduled": n_sched,
             "frontier_sec": round(wall, 3),
             "frontier_urls_per_sec": round(n / wall, 1) if wall > 0 else 0.0,
+            "frontier_stages": stage,
         }
     finally:
         shutil.rmtree(wh, ignore_errors=True)
@@ -225,10 +238,19 @@ def main() -> None:
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
     )
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")  # "", "frontier", "crawl", "queries"
     try:
-        queries = _run_queries(spark, sf_dir)
-        crawl = _run_crawl(spark, tag=cpus)
-        frontier = _frontier_throughput(spark, tag=cpus)
+        queries = _run_queries(spark, sf_dir) if only in ("", "queries") else {}
+        crawl = (
+            _run_crawl(spark, tag=cpus)
+            if only in ("", "crawl")
+            else {"crawl_sec": 0.0}
+        )
+        frontier = (
+            _frontier_throughput(spark, tag=cpus)
+            if only in ("", "frontier")
+            else {"frontier_sec": 0.0}
+        )
         total = round(
             sum(queries.values()) + crawl["crawl_sec"] + frontier["frontier_sec"], 3
         )

@@ -234,38 +234,53 @@ def schedule_round(
     )
     enriched = enriched.withColumn("_denied", is_denied)
 
+    # Single-pass plan: denied rows ride along (they are always emitted),
+    # and the per-host pop index k counts only non-denied rows via a
+    # conditional running count — no union of two branches, so the upstream
+    # chain (rank assignment, joins) is scanned exactly once.
     order = [F.desc("priority"), F.asc("discovery_seq")]
-    fetchable = enriched.where(~F.col("_denied"))
-    # skew pre-trim: top-budget per (host, salt) is a superset of the
-    # per-host top-budget (selection by the same total order commutes)
-    fetchable = (
-        fetchable.withColumn(
+    not_denied = F.when(F.col("_denied"), F.lit(0)).otherwise(F.lit(1))
+    # skew pre-trim: top-budget non-denied per (host, salt) is a superset of
+    # the per-host top-budget (selection by the same total order commutes)
+    trimmed = (
+        enriched.withColumn(
             "_salt", F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets)).cast("int")
         )
         .withColumn(
-            "_rk1", F.row_number().over(Window.partitionBy("host", "_salt").orderBy(*order))
+            "_rk1",
+            F.sum(not_denied).over(
+                Window.partitionBy("host", "_salt").orderBy(*order)
+            ),
         )
-        .where(F.col("_rk1") <= budget)
+        .where(F.col("_denied") | (F.col("_rk1") <= budget))
     )
-    k = F.row_number().over(Window.partitionBy("host").orderBy(*order)) - F.lit(1)
+    k = (
+        F.sum(not_denied).over(Window.partitionBy("host").orderBy(*order)) - F.lit(1)
+    ).cast("int")
     t0h = F.greatest(F.col("next_allowed_vt"), F.lit(float(t_start)))
     vt = t0h + k.cast("double") * F.greatest(F.col("crawl_delay_s"), F.lit(1e-9))
-    fetch_rows = (
-        fetchable.withColumn("seq_in_host", k.cast("int"))
+    scheduled = (
+        trimmed.withColumn("seq_in_host", k)
         .withColumn("sched_vt", vt)
-        .where((F.col("sched_vt") < F.lit(float(t_end))) & (F.col("seq_in_host") < budget))
-        .select(
-            "url", "host", "priority", "discovery_seq",
-            F.lit("fetch").alias("decision"), "sched_vt", "seq_in_host",
+        .withColumn(
+            "decision",
+            F.when(F.col("_denied"), F.lit("denied"))
+            .when(
+                (F.col("sched_vt") < F.lit(float(t_end)))
+                & (F.col("seq_in_host") < budget),
+                F.lit("fetch"),
+            )
+            .otherwise(F.lit(None).cast("string")),
         )
+        .where(F.col("decision").isNotNull())
     )
-    denied_rows = enriched.where(F.col("_denied")).select(
-        "url", "host", "priority", "discovery_seq",
-        F.lit("denied").alias("decision"),
-        F.lit(None).cast("double").alias("sched_vt"),
-        F.lit(None).cast("int").alias("seq_in_host"),
+    return scheduled.select(
+        "url", "host", "priority", "discovery_seq", "decision",
+        F.when(F.col("decision") == "fetch", F.col("sched_vt"))
+        .otherwise(F.lit(None).cast("double")).alias("sched_vt"),
+        F.when(F.col("decision") == "fetch", F.col("seq_in_host"))
+        .otherwise(F.lit(None).cast("int")).alias("seq_in_host"),
     )
-    return fetch_rows.unionByName(denied_rows)
 
 
 def schedule_round_pandas(

@@ -214,8 +214,12 @@ class Bloom:
         if len(h) == 0:
             return
         pos = self._positions(h).reshape(-1)
-        np.bitwise_or.at(self.words, (pos >> np.uint64(6)).astype(np.int64),
-                         np.uint64(1) << (pos & np.uint64(63)))
+        # bitmap + packbits instead of np.bitwise_or.at (unbuffered ufunc.at
+        # is ~10× slower); m bytes of scratch, little-endian bit order
+        # matches the (pos & 63) shift convention
+        bitmap = np.zeros(self.m, dtype=np.uint8)
+        bitmap[pos] = 1
+        self.words |= np.packbits(bitmap, bitorder="little").view(np.uint64)
 
     def contains_many(self, h: np.ndarray) -> np.ndarray:
         if len(h) == 0:
@@ -364,42 +368,57 @@ def probe_insert_cogroup(candidates: DataFrame, shards: DataFrame) -> DataFrame:
         shard_id = int(row["shard_id"])
         cf = CuckooFilter.from_bytes(bytes(row["cuckoo"]))
         bloom = Bloom.from_bytes(bytes(row["bloom"]))
-        out = {k: [] for k in ("kind", "url", "h", "shard", "priority",
-                               "cuckoo", "bloom", "n_items")}
         n_new = 0
+        parts = []
         if not left.empty:
             ordered = left.sort_values(["h", "url"], kind="mergesort")
             hs = ordered["h"].to_numpy(dtype=np.int64).view(np.uint64)
             # tier-1 shortcut: bloom-negative rows are definitely new — only
-            # bloom-positive suspects pay the cuckoo probe
-            maybe = ordered["bloom_seen"].to_numpy(dtype=bool)
+            # bloom-positive suspects pay the cuckoo probe. The shard's own
+            # bloom segment answers this in-pass; an upstream broadcast
+            # pre-pass (bloom_seen column) is honored when present.
+            if "bloom_seen" in ordered.columns:
+                maybe = ordered["bloom_seen"].to_numpy(dtype=bool)
+            else:
+                maybe = bloom.contains_many(hs)
             seen = np.zeros(len(ordered), dtype=bool)
             if maybe.any():
                 seen[maybe] = cf.contains_many(hs[maybe])
             cf.insert_many(hs[~seen])
             n_new = int((~seen).sum())
             bloom.add_many(hs)  # all candidates: keeps frontier ⊆ bloom
-            kinds = np.where(seen, "suspect", "new")
-            out["kind"] = list(kinds)
-            out["url"] = list(ordered["url"])
-            out["h"] = list(ordered["h"])
-            out["shard"] = [shard_id] * len(ordered)
-            out["priority"] = list(ordered["priority"])
-            out["cuckoo"] = [None] * len(ordered)
-            out["bloom"] = [None] * len(ordered)
-            out["n_items"] = [None] * len(ordered)
-        out["kind"].append("blob")
-        out["url"].append(None)
-        out["h"].append(None)
-        out["shard"].append(shard_id)
-        out["priority"].append(None)
-        out["cuckoo"].append(cf.to_bytes())
-        out["bloom"].append(bloom.to_bytes())
-        out["n_items"].append(int(row["n_items"]) + n_new)
-        return pd.DataFrame(out)
+            # columnar output — no per-element Python lists (5M+ rows/round
+            # flow through here; object churn would dominate the round)
+            verdicts = ordered[["url", "h", "priority"]].reset_index(drop=True)
+            verdicts["h"] = verdicts["h"].astype("Int64")  # nullable — blob row has no h
+            verdicts.insert(0, "kind", np.where(seen, "suspect", "new"))
+            verdicts["shard"] = np.int32(shard_id)
+            verdicts["cuckoo"] = None
+            verdicts["bloom"] = None
+            verdicts["n_items"] = pd.array([None] * len(verdicts), dtype="Int64")
+            parts.append(verdicts)
+        parts.append(
+            pd.DataFrame(
+                {
+                    "kind": ["blob"],
+                    "url": [None],
+                    "h": pd.array([None], dtype="Int64"),
+                    "priority": [np.nan],
+                    "shard": [np.int32(shard_id)],
+                    "cuckoo": [cf.to_bytes()],
+                    "bloom": [bloom.to_bytes()],
+                    "n_items": pd.array([int(row["n_items"]) + n_new], dtype="Int64"),
+                }
+            )
+        )
+        out = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        return out[["kind", "url", "h", "shard", "priority", "cuckoo", "bloom", "n_items"]]
 
     return (
-        candidates.select("url", "h", "shard", "priority", "bloom_seen")
+        candidates.select(
+            "url", "h", "shard", "priority",
+            *(["bloom_seen"] if "bloom_seen" in candidates.columns else []),
+        )
         .groupBy("shard")
         .cogroup(shards.groupBy("shard_id"))
         .applyInPandas(fn, _ADMIT_SCHEMA)
@@ -414,16 +433,28 @@ def admit_new_urls(
     n_shards: int,
     bloom_bits: int,
     round_id: int = 0,
+    broadcast_bloom: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Full three-tier admission in one shuffle. Returns
     (admitted(url, h, shard, priority), new_shards). ``candidates`` must
     already be unique on url (caller pre-aggregates max(priority)).
 
-    Tiers: (1) broadcast partitioned bloom marks bloom-negative candidates
-    definitely-new (skips their probes); (2) the cogrouped cuckoo
+    Tiers: (1) bloom pre-pass marks bloom-negative candidates
+    definitely-new, skipping their cuckoo probes; (2) the cogrouped cuckoo
     probe+insert splits new/suspect and rewrites shard blobs; (3) suspects
     anti-join the frontier — survivors are cuckoo false positives, admitted
     (and bloom-covered, so they route as suspects forever after).
+
+    Tier-1 placement: by default the probe uses the shard's own bloom
+    segment *inside* the cogroup task — exact admission must shuffle every
+    candidate to its shard anyway (every new URL inserts there), so a
+    pre-shuffle bloom cannot reduce the shuffle, and in-blob probing avoids
+    a second full Arrow round trip through Python. ``broadcast_bloom=True``
+    instead assembles the PartitionedBloom driver-side and broadcasts it so
+    the bloom_seen column is stamped executor-side before the shuffle
+    (north_star's pre-pass shape) — useful when the verdict is wanted
+    without admission (recrawl checks, metrics) or to pre-drop work from
+    *approximate* consumers.
 
     At 10^10-URL scale the frontier side of the tier-3 anti-join is bucketed
     by the same pmod(xxhash64(url), n_shards) in Iceberg, making it a
@@ -432,19 +463,20 @@ def admit_new_urls(
     """
     cand = with_url_hash(candidates, n_shards)
 
-    bc = spark.sparkContext.broadcast(global_bloom_bytes(shards, n_shards))
+    if broadcast_bloom:
+        bc = spark.sparkContext.broadcast(global_bloom_bytes(shards, n_shards))
 
-    @F.pandas_udf(BooleanType())
-    def maybe_seen(h: pd.Series, shard: pd.Series) -> pd.Series:
-        pb = PartitionedBloom.from_bytes(bc.value)
-        return pd.Series(
-            pb.contains_many(
-                h.to_numpy(dtype=np.int64).view(np.uint64),
-                shard.to_numpy(dtype=np.int64),
+        @F.pandas_udf(BooleanType())
+        def maybe_seen(h: pd.Series, shard: pd.Series) -> pd.Series:
+            pb = PartitionedBloom.from_bytes(bc.value)
+            return pd.Series(
+                pb.contains_many(
+                    h.to_numpy(dtype=np.int64).view(np.uint64),
+                    shard.to_numpy(dtype=np.int64),
+                )
             )
-        )
 
-    cand = cand.withColumn("bloom_seen", maybe_seen(F.col("h"), F.col("shard")))
+        cand = cand.withColumn("bloom_seen", maybe_seen(F.col("h"), F.col("shard")))
 
     out = probe_insert_cogroup(cand, shards).cache()
     new = out.where(F.col("kind") == "new")

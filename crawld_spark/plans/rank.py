@@ -8,23 +8,23 @@ two-phase zip-with-index, DataFrame-native:
 
   1. range-repartition + sort-within-partitions by the total order
   2. count rows per partition (tiny job on the cached sorted frame)
-  3. broadcast the per-partition offsets; ``mapInPandas`` stamps
-     ``start + offset[pid] + local_running_index``
+  3. decompose ``monotonically_increasing_id()`` — after the sort it is
+     ``(pid << 33) + local_row_index`` assigned in partition-local row
+     order — and stamp ``start + offset[pid] + local_index`` with the
+     per-partition offsets inlined as a literal map. All JVM expressions:
+     no second shuffle, no Python pass.
 
 The result is identical to the single-task window for any input (offsets are
 exact counts, within-partition order is the same total order), but each
 partition ranks independently. Ties must be impossible in ``order_cols``
 (we always end with the unique canonical url — SURVEY.md §7.7.2).
+Cap: < 2^33 rows per partition (monotonic-id local-index width).
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
 
 
 def global_rank(
@@ -44,29 +44,35 @@ def global_rank(
         df.repartitionByRange(n_parts, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
         .cache()
     )
-    counts = {r["_pid"]: r["cnt"] for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
     offsets: dict[int, int] = {}
     acc = start
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
 
-    out_schema = StructType(df.schema.fields + [StructField(out, LongType(), False)])
+    if not offsets:
+        return df.withColumn(out, F.lit(start).cast("long")).limit(0)
 
-    def stamp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = None
-        for b in batches:
-            if len(b) == 0:
-                continue
-            pid = int(b["_pid"].iloc[0])
-            if local is None:
-                local = offsets[pid]
-            b = b.drop(columns=["_pid"])
-            b[out] = range(local, local + len(b))
-            local += len(b)
-            yield b
-
-    ranked = d.mapInPandas(stamp, out_schema)
-    return ranked
+    # monotonically_increasing_id = (pid << 33) + local index, assigned in
+    # partition-local row order — exactly the sorted order after the
+    # sortWithinPartitions above
+    local = F.col("_mid") - (F.col("_pid").cast("long") * F.lit(1 << 33))
+    offset_map = F.create_map(
+        *[
+            c
+            for pid in sorted(offsets)
+            for c in (F.lit(pid), F.lit(offsets[pid]).cast("long"))
+        ]
+    )
+    return (
+        d.withColumn(
+            out, (F.element_at(offset_map, F.col("_pid")) + local).cast("long")
+        ).drop("_pid", "_mid")
+    )

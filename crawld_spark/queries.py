@@ -392,6 +392,46 @@ def fetch_order(spark, sf_dir):
     )
 
 
+@q(
+    "politeness_window",
+    # ≙ the native politeness scheduler's core plan (operators/politeness.py
+    # schedule_round): per-host rank → virtual-time arithmetic → round-window
+    # + budget cut. Hosts ≙ custkey buckets; delay varies per host.
+    """
+    SELECT host, o_orderkey, seq_in_host,
+           round(seq_in_host * delay_s, 6) AS sched_vt
+    FROM (
+      SELECT (o_custkey % 50) AS host,
+             o_orderkey,
+             CAST(1 + (o_custkey % 50) % 3 AS DOUBLE) AS delay_s,
+             row_number() OVER (PARTITION BY (o_custkey % 50)
+                                ORDER BY o_totalprice DESC, o_orderkey) - 1 AS seq_in_host
+      FROM orders)
+    WHERE seq_in_host * delay_s < 60.0 AND seq_in_host < 40
+    """,
+)
+def politeness_window(spark, sf_dir):
+    host = (F.col("o_custkey") % 50).alias("host")
+    w = Window.partitionBy(F.col("o_custkey") % 50).orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    delay = (F.lit(1) + (F.col("o_custkey") % 50) % 3).cast("double")
+    k = (F.row_number().over(w) - F.lit(1)).cast("long")
+    vt = k.cast("double") * delay
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            host,
+            "o_orderkey",
+            k.alias("seq_in_host"),
+            F.round(vt, 6).alias("sched_vt"),
+            (vt < F.lit(60.0)).alias("_in_window"),
+        )
+        .where(F.col("_in_window") & (F.col("seq_in_host") < 40))
+        .drop("_in_window")
+    )
+
+
 # =====================================================================
 # 2. training-data pipeline operators (dedup / similarity / text)
 # =====================================================================

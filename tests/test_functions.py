@@ -169,3 +169,64 @@ class TestSchedulerEquivalence:
             b = norm(schedule_round_pandas(pending, host_state, robots, round_id, cfg))
             assert a == b, f"round {round_id}: native != pandas"
         assert len(norm(schedule_round(pending, host_state, robots, 1, cfg))) > 0
+
+
+class TestRobotsParser:
+    def test_basic_groups(self):
+        from crawld_spark.functions.robots import parse_robots_one
+
+        body = """
+# comment
+User-agent: *
+Disallow: /private/
+Disallow: /tmp
+Crawl-delay: 2.5
+
+User-agent: evilbot
+Disallow: /
+"""
+        dis, delay = parse_robots_one(body, agent="crawld")
+        assert dis == ["/private/", "/tmp"]
+        assert delay == 2.5
+        dis2, _ = parse_robots_one(body, agent="EvilBot")
+        assert dis2 == ["/"]
+
+    def test_specific_agent_beats_star(self):
+        from crawld_spark.functions.robots import parse_robots_one
+
+        body = "User-agent: *\nDisallow: /a\nUser-agent: crawld\nDisallow: /b\n"
+        assert parse_robots_one(body, "crawld")[0] == ["/b"]
+        assert parse_robots_one(body, "other")[0] == ["/a"]
+
+    def test_empty_and_malformed(self):
+        from crawld_spark.functions.robots import parse_robots_one
+
+        assert parse_robots_one(None) == ([], None)
+        assert parse_robots_one("") == ([], None)
+        assert parse_robots_one("garbage without colon\n:\n") == ([], None)
+        # empty Disallow value = allow all
+        assert parse_robots_one("User-agent: *\nDisallow:\n") == ([], None)
+
+    def test_shared_ua_lines_one_record(self):
+        from crawld_spark.functions.robots import parse_robots_one
+
+        body = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
+        assert parse_robots_one(body, "a")[0] == ["/x"]
+        assert parse_robots_one(body, "b")[0] == ["/x"]
+
+    def test_vectorized_udf(self, spark):
+        from crawld_spark.functions.robots import robots_table
+
+        df = spark.createDataFrame(
+            [
+                ("h1", "User-agent: *\nDisallow: /p/\nCrawl-delay: 3"),
+                ("h2", ""),
+                ("h3", None),
+            ],
+            "host string, body string",
+        )
+        out = {r.host: (r.disallow_prefixes, r.crawl_delay_s)
+               for r in robots_table(df).collect()}
+        assert out["h1"] == (["/p/"], 3.0)
+        assert out["h2"] == ([], None)
+        assert out["h3"] == ([], None)

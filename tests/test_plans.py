@@ -1,0 +1,71 @@
+"""Physical-plan regression tests: the perf architecture is part of the
+contract. Filters must reach the parquet scan, small dimensions must
+broadcast, and the native scheduler must stay JVM-side (no Python eval in
+its subplan). A change that silently de-optimizes these shapes fails here
+long before a benchmark notices."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.usefixtures("spark")
+class TestPlanShapes:
+    def test_filter_pushdown_reaches_scan(self, spark):
+        from crawld_spark.queries import queries
+
+        df = queries()["frontier_scan_filter"](spark, SF)
+        plan = _plan(df)
+        assert "PushedFilters" in plan
+        # the >= predicate must be pushed, not evaluated post-scan only
+        assert "GreaterThanOrEqual(o_orderkey,1000)" in plan, plan
+
+    def test_column_pruning(self, spark):
+        df = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey")
+        plan = _plan(df)
+        assert "ReadSchema" in plan
+        # only the selected column is read from parquet
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "o_orderkey" in read_schema and "o_totalprice" not in read_schema
+
+    def test_small_dim_broadcasts(self, spark):
+        from crawld_spark.queries import queries
+
+        df = queries()["point_lookup_enrich"](spark, SF)
+        assert "BroadcastHashJoin" in _plan(df)
+
+    def test_native_scheduler_is_jvm_only(self, spark):
+        from crawld_spark.config import CrawlConfig
+        from crawld_spark.operators.politeness import HOST_STATE_SCHEMA, schedule_round
+
+        pending = spark.createDataFrame(
+            [(f"http://h{i % 5}.com/p/{i}", f"h{i % 5}.com", float(i % 7), i + 1)
+             for i in range(100)],
+            "url string, host string, priority double, discovery_seq long",
+        )
+        robots = spark.createDataFrame(
+            [("h1.com", ["/p/1"], 2.0)],
+            "host string, disallow_prefixes array<string>, crawl_delay_s double",
+        )
+        hs = spark.createDataFrame([], HOST_STATE_SCHEMA)
+        cfg = CrawlConfig(max_urls_per_host_per_round=10).validate()
+        plan = _plan(schedule_round(pending, hs, robots, 1, cfg))
+        assert "Window" in plan
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+            assert marker not in plan, f"python stage {marker} in scheduler plan"
+
+    def test_rank_is_jvm_only(self, spark):
+        from crawld_spark.plans.rank import global_rank
+
+        df = spark.createDataFrame(
+            [(f"u{i}", float(i % 3)) for i in range(50)], "url string, priority double"
+        )
+        ranked = global_rank(df, [F.desc("priority"), F.asc("url")], out="seq")
+        plan = _plan(ranked)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, f"python stage {marker} in rank plan"

@@ -148,3 +148,30 @@ class TestInsertMany:
         cf.insert_many(hs)
         assert cf.contains_many(hs).all()
         assert cf.n_items == len(hs)
+
+
+@pytest.mark.usefixtures("spark")
+class TestBloomPrepassModes:
+    def test_broadcast_and_inblob_agree(self, spark):
+        n_shards, bloom_bits = 4, 1 << 14
+        urls1 = [f"http://h{i%3}.com/p/{i}" for i in range(200)]
+        urls2 = urls1[:120] + [f"http://h7.com/q/{i}" for i in range(80)]
+        frontier1 = spark.createDataFrame([(u,) for u in urls1], "url string")
+        ef = spark.createDataFrame([], "url string")
+
+        results = []
+        for bb in (False, True):
+            shards = empty_shards(spark, n_shards, 1 << 10, bloom_bits)
+            c1 = spark.createDataFrame([(u, 1.0) for u in urls1], "url string, priority double")
+            a1, s1 = admit_new_urls(spark, c1, shards, ef, n_shards, bloom_bits, 0,
+                                    broadcast_bloom=bb)
+            a1.count()
+            c2 = spark.createDataFrame([(u, 2.0) for u in urls2], "url string, priority double")
+            a2, s2 = admit_new_urls(spark, c2, s1, frontier1, n_shards, bloom_bits, 1,
+                                    broadcast_bloom=bb)
+            results.append(
+                (sorted(r.url for r in a2.select("url").collect()),
+                 s2.agg(F.sum("n_items")).collect()[0][0])
+            )
+        assert results[0] == results[1]
+        assert results[0][0] == sorted(f"http://h7.com/q/{i}" for i in range(80))
