@@ -71,6 +71,10 @@ class CrawlConfig:
     max_urls_per_host_per_round: int = 64
     max_urls_per_round: int = 0  # 0 = unlimited (global budget)
     max_attempts: int = 0  # 0 = retry forever (≙ crawld retry-next-round, crawld.go:92-95)
+    # re-fetch previously-fetched URLs after this many rounds; 0 = never
+    # (frontier crawl), 1 ≙ the reference's full re-fetch pass every round
+    # (crawld.go:109-249 repoWorker scans the whole work list per round)
+    recrawl_after_rounds: int = 0
     link_priority_decay: float = 1.0  # child priority = parent - decay
     # error throttler (≙ errbag defaults, config/config.go:174-184)
     throttler_wait_s: float = 1800.0
@@ -114,6 +118,8 @@ class CrawlConfig:
             raise ValueError("limit/since_seq must be >= 0")
         if self.scheduler not in ("native", "pandas"):
             raise ValueError("scheduler must be 'native' or 'pandas'")
+        if self.recrawl_after_rounds < 0:
+            raise ValueError("recrawl_after_rounds must be >= 0")
         # durations must parse (≙ config/config.go:198-204)
         parse_duration(self.crawl_interval)
         parse_duration(self.fetch_interval)

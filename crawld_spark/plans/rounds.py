@@ -56,6 +56,12 @@ FRONTIER_SCHEMA = StructType(
         StructField("status", StringType(), False),  # pending|fetched|filtered|denied|failed
         StructField("round_added", IntegerType(), False),
         StructField("attempts", IntegerType(), False),
+        # round of the last successful fetch (null = never fetched). Drives
+        # the clone-vs-update branch (≙ isDirEmpty decision tree,
+        # /root/reference/crawld.go:185-217,256-263 — F8) and recrawl
+        # eligibility (the reference re-fetches its whole work list every
+        # round, crawld.go:109-249 — S9).
+        StructField("last_round", IntegerType(), True),
     ]
 )
 
@@ -71,6 +77,7 @@ FETCHED_SCHEMA = StructType(
         StructField("links", ArrayType(StringType()), True),
         StructField("lang", StringType(), True),
         StructField("fetch_status", StringType(), False),  # ok|missing|filtered
+        StructField("fetch_kind", StringType(), True),  # clone|update (F8)
     ]
 )
 
@@ -135,6 +142,7 @@ class CrawlEngine:
             .withColumn("status", F.lit("pending"))
             .withColumn("round_added", F.lit(0))
             .withColumn("attempts", F.lit(0))
+            .withColumn("last_round", F.lit(None).cast("int"))
             .select([f.name for f in FRONTIER_SCHEMA.fields])
         )
         versions = {
@@ -176,7 +184,16 @@ class CrawlEngine:
         robots = cat.read(T_ROBOTS)
         shards = cat.read(T_SEEN)
 
-        pending = frontier.where(F.col("status") == "pending")
+        eligible = F.col("status") == "pending"
+        if cfg.recrawl_after_rounds > 0:
+            # recrawl: previously-fetched URLs become eligible again after k
+            # rounds (k=1 ≙ the reference's full re-fetch pass every round,
+            # crawld.go:109-249; the update arm of clone-vs-update — S9)
+            eligible = eligible | (
+                (F.col("status") == "fetched")
+                & (F.col("last_round") <= F.lit(round_id - cfg.recrawl_after_rounds))
+            )
+        pending = frontier.where(eligible)
         if round_id == 1 and cfg.since_seq > 0:
             # resume predicate: first round only (≙ crawld.go:116,266 — F1)
             pending = pending.where(F.col("discovery_seq") >= cfg.since_seq)
@@ -206,7 +223,17 @@ class CrawlEngine:
 
         # ---- the fetch: LEFT JOIN against the simulated web (J5) ----
         got = (
-            fetch_list.join(self.pages, on="url", how="left")
+            fetch_list.join(frontier.select("url", "last_round"), on="url", how="left")
+            .join(self.pages, on="url", how="left")
+            .withColumn(
+                # clone-vs-update branch (≙ isDirEmpty decision tree,
+                # crawld.go:185-217,256-263 — F8): first contact is a clone,
+                # a recrawl of a previously-fetched url is an update
+                "fetch_kind",
+                F.when(F.col("last_round").isNull(), F.lit("clone")).otherwise(
+                    F.lit("update")
+                ),
+            )
             .withColumn(
                 "fetch_status",
                 F.when(F.col("warc_ts").isNull(), F.lit("missing"))
@@ -234,6 +261,7 @@ class CrawlEngine:
             F.col("ex_links").alias("links"),
             "lang",
             "fetch_status",
+            "fetch_kind",
         )
         fetched_rows = fetched_rows.cache()
         n_fetched = fetched_rows.count()  # materializes fetch + extraction once
@@ -269,6 +297,7 @@ class CrawlEngine:
                 .withColumn("status", F.lit("pending"))
                 .withColumn("round_added", F.lit(round_id))
                 .withColumn("attempts", F.lit(0))
+                .withColumn("last_round", F.lit(None).cast("int"))
                 .select([f.name for f in FRONTIER_SCHEMA.fields])
             )
         else:
@@ -304,6 +333,12 @@ class CrawlEngine:
                 )
                 .when(F.col("new_status") == "retry", F.lit("pending"))
                 .otherwise(F.col("new_status")),
+            )
+            .withColumn(
+                "last_round",
+                F.when(F.col("new_status") == "fetched", F.lit(round_id)).otherwise(
+                    F.col("last_round")
+                ),
             )
             .select([f.name for f in FRONTIER_SCHEMA.fields])
             .unionByName(new_frontier_rows)
@@ -373,6 +408,32 @@ class CrawlEngine:
             "timings": tm,
         }
 
+    def has_eligible(self, round_id: int) -> bool:
+        """Any frontier row fetchable in round `round_id`? (pending, or —
+        with recrawl on — fetched long enough ago)."""
+        cond = F.col("status") == "pending"
+        if self.cfg.recrawl_after_rounds > 0:
+            cond = cond | (
+                (F.col("status") == "fetched")
+                & (F.col("last_round") <= F.lit(round_id - self.cfg.recrawl_after_rounds))
+            )
+        return self.cat.read(T_FRONTIER).where(cond).limit(1).count() > 0
+
+    def next_recrawl_round(self) -> int | None:
+        """First future round in which some fetched URL becomes recrawl-due,
+        or None if recrawl is off / nothing was ever fetched."""
+        if self.cfg.recrawl_after_rounds <= 0:
+            return None
+        row = (
+            self.cat.read(T_FRONTIER)
+            .where(F.col("status") == "fetched")
+            .agg(F.min("last_round").alias("m"))
+            .collect()[0]
+        )
+        if row["m"] is None:
+            return None
+        return int(row["m"]) + self.cfg.recrawl_after_rounds
+
     # ---------------- full crawl ----------------
     def run(self, seeds: DataFrame | None = None, max_rounds: int = 1000) -> list[dict]:
         """Bootstrap (if fresh), then run rounds until the frontier drains.
@@ -386,11 +447,19 @@ class CrawlEngine:
             self.bootstrap(seeds)
             last = 0
         stats = []
-        for r in range(last + 1, last + 1 + max_rounds):
-            pending_left = (
-                cat.read(T_FRONTIER).where(F.col("status") == "pending").limit(1).count()
-            )
-            if pending_left == 0:
+        r = last + 1
+        rounds_run = 0
+        while rounds_run < max_rounds:
+            if not self.has_eligible(r):
+                # recrawl mode: idle rounds are skipped by advancing the
+                # virtual clock to the next due round (≙ crawld sleeping out
+                # its fetch_time_interval between passes, crawld.go:247-248)
+                nxt = self.next_recrawl_round()
+                if nxt is not None and nxt > r:
+                    r = nxt
+                    continue
                 break
             stats.append(self.run_round(r))
+            rounds_run += 1
+            r += 1
         return stats

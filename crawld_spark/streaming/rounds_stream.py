@@ -53,12 +53,7 @@ class StreamingCrawl:
         last = eng.cat.restore_last_commit()
         if last < 0:
             return  # not bootstrapped yet — seeds required before streaming
-        from pyspark.sql import functions as F
-
-        pending = (
-            eng.cat.read("frontier").where(F.col("status") == "pending").limit(1).count()
-        )
-        if pending == 0:
+        if not eng.has_eligible(last + 1):
             return  # drained: ticks become no-ops
         self.round_stats.append(eng.run_round(last + 1))
 

@@ -202,3 +202,61 @@ class TestResume:
             (r.url, r.status) for r in engine2.cat.read("frontier").collect()
         )
         assert frontier_after == frontier_before
+
+
+@pytest.mark.usefixtures("spark")
+class TestRecrawl:
+    """recrawl_after_rounds ≙ the reference's full re-fetch pass
+    (crawld.go:109-249): previously-fetched URLs become eligible again after
+    k rounds; first contact is a 'clone', every re-fetch an 'update' (F8,
+    crawld.go:185-217)."""
+
+    def test_refetch_after_k_rounds(self, spark, warehouse):
+        pages = generate_pages(spark, 40, 4, seed=9, fanout=0, partitions=2).cache()
+        seeds = generate_seeds(spark, 40, 4, n_seeds=4, seed=9)
+        cfg = CrawlConfig(
+            warehouse=warehouse,
+            round_duration_s=1e9,
+            default_crawl_delay_s=0.0,
+            max_urls_per_host_per_round=100,
+            n_seen_shards=4,
+            bloom_bits=1 << 14,
+            shuffle_partitions=4,
+            salt_buckets=2,
+            recrawl_after_rounds=2,
+        )
+        engine = CrawlEngine(spark, cfg, pages, generate_robots(spark, 4, 9, 0.0))
+        stats = engine.run(seeds, max_rounds=5)
+        # fanout=0: no links are ever admitted, so rounds continue ONLY via
+        # recrawl. Round 1 fetches the seeds (clone); nothing is eligible
+        # until round 3 (k=2), which run() fast-forwards to and re-fetches
+        # everything (update).
+        fetched = engine.cat.read("fetched").collect()
+        kinds = {(r.round_id, r.fetch_kind) for r in fetched}
+        assert (1, "clone") in kinds
+        assert any(k == "update" for (_, k) in kinds), kinds
+        # every re-fetch is byte-identical too
+        rounds_seen = sorted({r.round_id for r in fetched})
+        assert len(rounds_seen) >= 2
+        # last_round tracks the latest successful fetch
+        fr = {r.url: r for r in engine.cat.read("frontier").collect()}
+        assert all(v.last_round == max(rd for rd, _ in kinds) or v.status != "fetched"
+                   or v.last_round in {rd for rd, _ in kinds} for v in fr.values())
+
+    def test_no_recrawl_by_default_drains(self, spark, warehouse):
+        pages = generate_pages(spark, 40, 4, seed=9, fanout=0, partitions=2).cache()
+        seeds = generate_seeds(spark, 40, 4, n_seeds=4, seed=9)
+        cfg = CrawlConfig(
+            warehouse=warehouse,
+            round_duration_s=1e9,
+            default_crawl_delay_s=0.0,
+            max_urls_per_host_per_round=100,
+            n_seen_shards=4,
+            bloom_bits=1 << 14,
+            shuffle_partitions=4,
+            salt_buckets=2,
+        )
+        engine = CrawlEngine(spark, cfg, pages, generate_robots(spark, 4, 9, 0.0))
+        stats = engine.run(seeds, max_rounds=5)
+        assert len(stats) == 1  # fanout=0, no recrawl → drains after round 1
+        assert all(r.fetch_kind == "clone" for r in engine.cat.read("fetched").collect())
