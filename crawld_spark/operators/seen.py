@@ -371,7 +371,17 @@ def probe_insert_cogroup(candidates: DataFrame, shards: DataFrame) -> DataFrame:
         n_new = 0
         parts = []
         if not left.empty:
-            ordered = left.sort_values(["h", "url"], kind="mergesort")
+            # deterministic total order (h, url). Fast path: numpy argsort on
+            # h alone — object-dtype string sorts cost ~10× more and the url
+            # tiebreak only matters on xxhash64 collisions, so fall back to
+            # the full sort only when adjacent duplicate hashes exist.
+            h_raw = left["h"].to_numpy(dtype=np.int64)
+            order = np.argsort(h_raw, kind="stable")
+            h_sorted = h_raw[order]
+            if len(h_sorted) > 1 and (h_sorted[1:] == h_sorted[:-1]).any():
+                ordered = left.sort_values(["h", "url"], kind="mergesort")
+            else:
+                ordered = left.iloc[order]
             hs = ordered["h"].to_numpy(dtype=np.int64).view(np.uint64)
             # tier-1 shortcut: bloom-negative rows are definitely new — only
             # bloom-positive suspects pay the cuckoo probe. The shard's own
