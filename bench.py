@@ -126,16 +126,17 @@ def _frontier_throughput(spark, tag: str) -> dict:
             t = now
 
         cand = raw.groupBy("url").agg(F.max("priority").alias("priority"))
-        admitted, new_shards = seen.admit_new_urls(
-            spark, cand, shards, empty_frontier, cfg.n_seen_shards, cfg.bloom_bits, 0
+        admitted, dirty_shards, seen_caches = seen.admit_new_urls(
+            spark, cand, shards, empty_frontier, cfg.n_seen_shards, 0
         )
         n_admitted = admitted.count()
         mark("dedup_admit")
-        cat.write("seen_shards", new_shards)
+        cat.upsert("seen_shards", updates=dirty_shards, keys=["shard_id"])
         mark("shards_write")
         ranked = global_rank(
             admitted.select("url", "priority"),
             [F.desc("priority"), F.asc("url")], out="discovery_seq", start=1,
+            caches=seen_caches,
         )
         mark("rank")
         pending = ranked.withColumn(
@@ -148,6 +149,8 @@ def _frontier_throughput(spark, tag: str) -> dict:
         n_sched = scheduled.where(F.col("decision") == "fetch").count()
         mark("schedule")
         wall = time.perf_counter() - t0
+        for df in (admitted, *seen_caches):
+            df.unpersist()
         return {
             "frontier_raw_urls": n,
             "frontier_admitted": n_admitted,

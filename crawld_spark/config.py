@@ -61,9 +61,18 @@ class CrawlConfig:
     warehouse: str = "/tmp/crawld_spark_wh"
     # candidate filters (≙ CrawlerConfig, config/config.go:85-126)
     languages: list[str] = field(default_factory=list)  # empty = all
+    # F4 stage-2: after the case-SENSITIVE primary-language match fails, the
+    # reference falls back to a case-INSENSITIVE match against the full
+    # language map (crawlers/util.go:75-106, EqualFold at :85). On by
+    # default — the reference always runs both stages on the crawl side.
+    lang_ci_fallback: bool = True
     keep_forks: bool = False
-    limit: int = 0  # 0 = unlimited; >0 ≙ crawlers/github.go:121 global limit
-    limit_per_language: bool = False  # ≙ use_search_api per-lang limit (README.md:146-152)
+    # total successful-fetch budget for the crawl. Global
+    # (crawlers/github.go:121,128-129,205-210) unless limit_per_language,
+    # which caps each language separately (≙ use_search_api per-language
+    # limit, crawlers/github.go:225,260-262; README.md:146-152). 0 = unlimited.
+    limit: int = 0
+    limit_per_language: bool = False
     since_seq: int = 0  # resume offset, first round only (crawld.go:116,266)
     # politeness / scheduling
     round_duration_s: float = 60.0  # virtual seconds per round
@@ -80,6 +89,10 @@ class CrawlConfig:
     throttler_wait_s: float = 1800.0
     throttler_window: int = 60
     throttler_leak_s: float = 1.0
+    # too_many_calls lane (C7): a host that returned a rate-limit error this
+    # round sleeps until "quota reset" — clock pushed past the round end by
+    # this much (≙ sleep-until-limits.Core.Reset, crawlers/github.go:98-107)
+    rate_limit_wait_s: float = 60.0
     # seen-set sizing (engine-only; SURVEY.md §7.3)
     n_seen_shards: int = 32
     cuckoo_capacity_per_shard: int = 1 << 16
@@ -120,6 +133,8 @@ class CrawlConfig:
             raise ValueError("scheduler must be 'native' or 'pandas'")
         if self.recrawl_after_rounds < 0:
             raise ValueError("recrawl_after_rounds must be >= 0")
+        if self.rate_limit_wait_s < 0:
+            raise ValueError("rate_limit_wait_s must be >= 0")
         # durations must parse (≙ config/config.go:198-204)
         parse_duration(self.crawl_interval)
         parse_duration(self.fetch_interval)

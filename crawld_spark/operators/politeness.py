@@ -72,6 +72,15 @@ HOST_STATE_SCHEMA = StructType(
 )
 
 
+def path_of(url: str) -> str:
+    """URL path (query included), '/' when absent — the single path
+    definition shared by both scheduler implementations and the simulator
+    (a 'Disallow: /' must deny identically everywhere)."""
+    i = url.find("://")
+    j = url.find("/", i + 3) if i >= 0 else -1
+    return url[j:] if j >= 0 else "/"
+
+
 def _schedule_host(pdf: pd.DataFrame, round_id: int, cfg: CrawlConfig) -> pd.DataFrame:
     """Exact per-host politeness over one host's pending rows (pdf carries
     the host_state columns joined on)."""
@@ -88,8 +97,7 @@ def _schedule_host(pdf: pd.DataFrame, round_id: int, cfg: CrawlConfig) -> pd.Dat
     # crawlers/github.go:166-182 cheap-filter-first)
     heap: list[tuple[float, int, str]] = []
     for url, pri, seq in zip(pdf["url"], pdf["priority"], pdf["discovery_seq"]):
-        path = url[url.find("/", url.find("://") + 3):] if "://" in url else url
-        if any(path.startswith(p) for p in prefixes):
+        if any(path_of(url).startswith(p) for p in prefixes):
             out_url.append(url); out_host.append(host); out_pri.append(float(pri))
             out_seq.append(int(seq)); out_dec.append("denied"); out_vt.append(None)
             out_k.append(None)
@@ -124,11 +132,6 @@ def _preselect_host_salt(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
     re-evaluates the exact logic."""
     prefixes = pdf["disallow_prefixes"].iloc[0]
     prefixes = list(prefixes) if prefixes is not None else []
-
-    def path_of(url: str) -> str:
-        i = url.find("://")
-        j = url.find("/", i + 3) if i >= 0 else -1
-        return url[j:] if j >= 0 else "/"
 
     denied_mask = pdf["url"].map(lambda u: any(path_of(u).startswith(p) for p in prefixes))
     denied = pdf[denied_mask]
@@ -330,13 +333,15 @@ def advance_host_state(
         .groupBy("host")
         .agg(F.count("*").alias("n_sched"), F.max("sched_vt").alias("last_vt"))
     )
+    if "n_rate_limited" not in fetch_errors.columns:
+        fetch_errors = fetch_errors.withColumn("n_rate_limited", F.lit(0))
     hs = (
         host_state.withColumnRenamed("crawl_delay_s", "state_delay_s")
         .join(per_host, on="host", how="outer")
         .join(fetch_errors, on="host", how="left")
         .join(robots.select("host", F.col("crawl_delay_s").alias("robots_delay_s")),
               on="host", how="left")
-        .fillna({"n_sched": 0, "n_errors": 0})
+        .fillna({"n_sched": 0, "n_errors": 0, "n_rate_limited": 0})
         .withColumn(
             "crawl_delay_s",
             F.coalesce("state_delay_s", "robots_delay_s", F.lit(cfg.default_crawl_delay_s)),
@@ -351,6 +356,17 @@ def advance_host_state(
         F.when(F.col("n_sched") > 0, F.col("last_vt") + F.col("crawl_delay_s")).otherwise(
             F.greatest(F.col("next_allowed_vt"), F.lit(float(t_start)))
         ),
+    )
+    # too_many_calls lane (C7): sleep until "quota reset" — the clock is
+    # pushed past the round end by rate_limit_wait_s (≙ the call() wrapper
+    # sleeping until limits.Core.Reset, crawlers/github.go:98-107)
+    hs = hs.withColumn(
+        "next_allowed_vt",
+        F.when(
+            F.col("n_rate_limited") > 0,
+            F.greatest(F.col("next_allowed_vt"), F.lit(float(t_end)))
+            + F.lit(cfg.rate_limit_wait_s),
+        ).otherwise(F.col("next_allowed_vt")),
     )
     # leaky bucket: leak since last error event, then add this round's errors
     leaked = F.greatest(

@@ -33,12 +33,22 @@ def global_rank(
     out: str = "seq",
     start: int = 1,
     num_partitions: int | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
-    """Append a dense global rank column following the given total order."""
+    """Append a dense global rank column following the given total order.
+
+    The sorted frame is cached (the offset-count job and the final plan must
+    see one materialization); pass ``caches`` to receive the handle and
+    unpersist it after the result is materialized — otherwise it is released
+    best-effort when this DataFrame is garbage-collected.
+    """
     if num_partitions is None:
-        num_partitions = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        num_partitions = int(num_partitions)
-    n_parts = max(1, min(num_partitions, 64))
+        # scale with the input: ranking shrinks no data, so the range
+        # shuffle should be at least as wide as the input (and never below
+        # the session's shuffle width). Driver cost is O(n_parts) longs.
+        sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        num_partitions = max(sp, df.rdd.getNumPartitions())
+    n_parts = max(1, num_partitions)
 
     d = (
         df.repartitionByRange(n_parts, *order_cols)
@@ -47,6 +57,8 @@ def global_rank(
         .withColumn("_mid", F.monotonically_increasing_id())
         .cache()
     )
+    if caches is not None:
+        caches.append(d)
     counts = {
         r["_pid"]: r["cnt"]
         for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()

@@ -29,6 +29,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -76,8 +77,12 @@ FETCHED_SCHEMA = StructType(
         StructField("text", StringType(), True),
         StructField("links", ArrayType(StringType()), True),
         StructField("lang", StringType(), True),
-        StructField("fetch_status", StringType(), False),  # ok|missing|filtered
+        StructField("fetch_status", StringType(), False),  # ok|missing|error|filtered
         StructField("fetch_kind", StringType(), True),  # clone|update (F8)
+        # which F4 stage admitted the language: primary (case-sensitive
+        # match, crawlers/util.go:96-99) | fallback (case-insensitive
+        # full-map match, crawlers/util.go:85)
+        StructField("lang_stage", StringType(), True),
     ]
 )
 
@@ -90,6 +95,10 @@ ROUNDS_SCHEMA = StructType(
         StructField("failed", LongType(), False),
         StructField("parsed", LongType(), False),
         StructField("denied", LongType(), False),
+        # C7 error taxonomy (≙ genAPICallFuncError classes,
+        # crawlers/github.go:1005-1026), visible per round in lineage
+        StructField("rate_limited", LongType(), False),
+        StructField("unavailable", LongType(), False),
     ]
 )
 
@@ -127,15 +136,22 @@ class CrawlEngine:
             .groupBy("url")
             .agg(F.max("priority").alias("priority"))
         )
-        admitted, new_shards = seen.admit_new_urls(
+        admitted, dirty_shards, seen_caches = seen.admit_new_urls(
             self.spark, cand, shards, empty_frontier.select("url"),
-            cfg.n_seen_shards, cfg.bloom_bits, round_id=0,
+            cfg.n_seen_shards, round_id=0,
+        )
+        # table creation: empty blobs overlaid with the seed-dirty ones —
+        # the one O(n_shards) seen write of the crawl (subsequent rounds
+        # upsert only dirty shards)
+        new_shards = dirty_shards.unionByName(
+            shards.join(dirty_shards.select("shard_id"), on="shard_id", how="left_anti")
         )
         ranked = global_rank(
             admitted.select("url", "priority"),
             [F.desc("priority"), F.asc("url")],
             out="discovery_seq",
             start=1,
+            caches=seen_caches,
         )
         frontier = (
             ranked.withColumn("host", url_host(F.col("url")))
@@ -164,6 +180,8 @@ class CrawlEngine:
             T_ROBOTS: cat.write(T_ROBOTS, self.robots, advance_pointer=False),
         }
         cat.commit_round(0, versions)
+        for df in (admitted, *seen_caches):
+            df.unpersist()
 
     # ---------------- one fetch round ----------------
     def run_round(self, round_id: int) -> dict:
@@ -222,8 +240,50 @@ class CrawlEngine:
         mark("schedule")
 
         # ---- the fetch: LEFT JOIN against the simulated web (J5) ----
+        # frontier attrs ride along so the round can emit FULL replacement
+        # rows (MOR upsert) without re-reading the frontier at write time
+        fr_attrs = frontier.select("url", "round_added", "attempts", "last_round")
+
+        # C7 error taxonomy (≙ genAPICallFuncError, crawlers/github.go:
+        # 1005-1026): a page absent from the web is a network error; pages
+        # carrying http_status/err_msg columns classify by code + message
+        # substring exactly like the reference (403+"API rate limit
+        # exceeded" → too_many_calls, 403+"access blocked" → unavailable)
+        err_class = F.when(F.col("warc_ts").isNull(), F.lit("network"))
+        if {"http_status", "err_msg"} <= set(self.pages.columns):
+            msg = F.coalesce(F.col("err_msg"), F.lit(""))
+            err_class = (
+                err_class.when(
+                    (F.col("http_status") == 403)
+                    & msg.contains("API rate limit exceeded"),
+                    F.lit("too_many_calls"),
+                )
+                .when(
+                    (F.col("http_status") == 403) & msg.contains("access blocked"),
+                    F.lit("unavailable"),
+                )
+                .when(F.col("http_status") >= 400, F.lit("unavailable"))
+            )
+        err_class = err_class.otherwise(F.lit(None).cast("string"))
+
+        # F4 two-phase language filter: stage 1 case-SENSITIVE primary match
+        # (crawlers/util.go:96-99); stage 2 case-INSENSITIVE fallback
+        # (EqualFold, crawlers/util.go:85) when enabled
+        lang_stage = (
+            F.when(
+                F.lit(len(cfg.languages) == 0) | F.col("lang").isin(cfg.languages),
+                F.lit("primary"),
+            )
+            .when(
+                F.lit(cfg.lang_ci_fallback)
+                & F.lower(F.col("lang")).isin([l.lower() for l in cfg.languages]),
+                F.lit("fallback"),
+            )
+            .otherwise(F.lit(None).cast("string"))
+        )
+
         got = (
-            fetch_list.join(frontier.select("url", "last_round"), on="url", how="left")
+            fetch_list.join(fr_attrs, on="url", how="left")
             .join(self.pages, on="url", how="left")
             .withColumn(
                 # clone-vs-update branch (≙ isDirEmpty decision tree,
@@ -234,19 +294,46 @@ class CrawlEngine:
                     F.lit("update")
                 ),
             )
+            .withColumn("error_class", err_class)
+            .withColumn("lang_stage", lang_stage)
             .withColumn(
                 "fetch_status",
-                F.when(F.col("warc_ts").isNull(), F.lit("missing"))
-                .when(
-                    F.lit(len(cfg.languages) == 0)
-                    | F.col("lang").isin(cfg.languages),  # case-sensitive stage-1 (F4)
-                    F.lit("ok"),
-                )
+                F.when(F.col("error_class") == "network", F.lit("missing"))
+                .when(F.col("error_class").isNotNull(), F.lit("error"))
+                .when(F.col("lang_stage").isNotNull(), F.lit("ok"))
                 .otherwise(F.lit("filtered")),
             )
-            .cache()
         )
-        ok = got.where(F.col("fetch_status") == "ok")
+
+        # ---- F6: total-fetch budget (crawlers/github.go:121 global;
+        # :225,260-262 per-language with the search API) ----
+        # rows beyond the remaining budget are excluded from the round
+        # entirely — not fetched, no status change, they simply stay pending
+        # (≙ crawld stops paging when the decrementing limit hits 0)
+        ok_cond = F.col("fetch_status") == "ok"
+        if cfg.limit > 0:
+            ok_int = F.when(ok_cond, F.lit(1)).otherwise(F.lit(0))
+            order = [F.desc("priority"), F.asc("discovery_seq")]
+            fetched_tbl = cat.read(T_FETCHED, FETCHED_SCHEMA)
+            if cfg.limit_per_language:
+                prior = fetched_tbl.groupBy("lang").agg(F.count("*").alias("_prior"))
+                got = got.join(prior, on="lang", how="left")
+                rk = F.sum(ok_int).over(Window.partitionBy("lang").orderBy(*order))
+            else:
+                # global budget: single-partition window is fine — the input
+                # is one round's fetch list, already bounded by the
+                # politeness budgets, not the frontier
+                got = got.withColumn("_prior", F.lit(fetched_tbl.count()))
+                rk = F.sum(ok_int).over(Window.orderBy(*order))
+            over = ok_cond & (
+                rk + F.coalesce(F.col("_prior"), F.lit(0)) > F.lit(cfg.limit)
+            )
+            got = got.withColumn("_over", over).where(~F.col("_over")).drop(
+                "_over", "_prior"
+            )
+
+        got = got.cache()
+        ok = got.where(ok_cond)
         parsed = ok.withColumn("ex_text", extract_text(F.col("html"))).withColumn(
             "ex_links", extract_links(F.col("html"))
         )
@@ -262,6 +349,7 @@ class CrawlEngine:
             "lang",
             "fetch_status",
             "fetch_kind",
+            "lang_stage",
         )
         fetched_rows = fetched_rows.cache()
         n_fetched = fetched_rows.count()  # materializes fetch + extraction once
@@ -278,9 +366,9 @@ class CrawlEngine:
             .groupBy("url")
             .agg(F.max("priority").alias("priority"))
         )
-        admitted, new_shards = seen.admit_new_urls(
+        admitted, dirty_shards, seen_caches = seen.admit_new_urls(
             spark, cand, shards, frontier.select("url"),
-            cfg.n_seen_shards, cfg.bloom_bits, round_id=round_id,
+            cfg.n_seen_shards, round_id=round_id,
         )
         max_seq = frontier.agg(F.max("discovery_seq")).collect()[0][0] or 0
         admitted_cnt = admitted.count()  # materializes the admission chain once
@@ -291,6 +379,7 @@ class CrawlEngine:
                 [F.desc("priority"), F.asc("url")],
                 out="discovery_seq",
                 start=max_seq + 1,
+                caches=seen_caches,
             )
             new_frontier_rows = (
                 ranked.withColumn("host", url_host(F.col("url")))
@@ -304,55 +393,83 @@ class CrawlEngine:
             new_frontier_rows = spark.createDataFrame([], FRONTIER_SCHEMA)
 
         # ---- frontier status updates (MERGE, ≙ insert-or-update A1-A5) ----
-        status_after = (
+        # O(touched rows): full replacement rows for this round's scheduled
+        # urls only — the Catalog's MOR upsert lands them as one delta file;
+        # untouched frontier rows are never read, rewritten, or shuffled
+        touched = (
             got.select(
-                "url",
+                "url", "host", "priority", "discovery_seq",
+                "round_added", "attempts", "last_round",
+                # two failure lanes (≙ crawld.go:92-104): a NETWORK error
+                # skips and retries next round; a NON-network error on an
+                # UPDATE destroys and re-clones — here: reset to
+                # first-contact state so the next fetch is a 'clone'
                 F.when(F.col("fetch_status") == "ok", F.lit("fetched"))
                 .when(F.col("fetch_status") == "filtered", F.lit("filtered"))
+                .when(
+                    (F.col("error_class") == "unavailable")
+                    & (F.col("fetch_kind") == "update"),
+                    F.lit("reclone"),
+                )
                 .otherwise(F.lit("retry"))
                 .alias("new_status"),
             )
-            .unionByName(denied.select("url", F.lit("denied").alias("new_status")))
+            .unionByName(
+                denied.join(fr_attrs, on="url", how="left").select(
+                    "url", "host", "priority", "discovery_seq",
+                    "round_added", "attempts", "last_round",
+                    F.lit("denied").alias("new_status"),
+                )
+            )
         )
-        fr_upd = (
-            frontier.join(status_after, on="url", how="left")
-            .withColumn(
+        fr_updates = (
+            touched.withColumn(
                 "attempts",
-                F.when(F.col("new_status") == "retry", F.col("attempts") + 1).otherwise(
-                    F.col("attempts")
-                ),
+                F.when(F.col("new_status") == "retry", F.col("attempts") + 1)
+                .when(F.col("new_status") == "reclone", F.lit(0))  # destroyed: fresh start
+                .otherwise(F.col("attempts")),
             )
             .withColumn(
                 "status",
-                F.when(F.col("new_status").isNull(), F.col("status"))
-                .when(
+                F.when(
                     (F.col("new_status") == "retry")
                     & F.lit(cfg.max_attempts > 0)
                     & (F.col("attempts") >= cfg.max_attempts),
                     F.lit("failed"),
                 )
-                .when(F.col("new_status") == "retry", F.lit("pending"))
+                .when(F.col("new_status").isin("retry", "reclone"), F.lit("pending"))
                 .otherwise(F.col("new_status")),
             )
             .withColumn(
                 "last_round",
-                F.when(F.col("new_status") == "fetched", F.lit(round_id)).otherwise(
-                    F.col("last_round")
-                ),
+                F.when(F.col("new_status") == "fetched", F.lit(round_id))
+                .when(F.col("new_status") == "reclone", F.lit(None).cast("int"))
+                .otherwise(F.col("last_round")),
             )
             .select([f.name for f in FRONTIER_SCHEMA.fields])
-            .unionByName(new_frontier_rows)
         )
 
-        # ---- host_state advance + error throttle ----
+        # ---- host_state advance + error throttle (by error CLASS — C7) ----
         errors = (
-            got.where(F.col("fetch_status") == "missing")
-            .withColumn("host", url_host(F.col("url")))
+            got.where(F.col("error_class").isNotNull())
             .groupBy("host")
-            .agg(F.count("*").alias("n_errors"))
+            .agg(
+                F.count("*").alias("n_errors"),
+                F.sum(
+                    F.when(F.col("error_class") == "too_many_calls", 1).otherwise(0)
+                ).alias("n_rate_limited"),
+            )
         )
+        # with a fetch budget in force, capped-out rows were not fetched —
+        # their politeness slots must not advance the host clocks either
+        sched_for_clock = scheduled
+        if cfg.limit > 0:
+            sched_for_clock = got.select(
+                "url", "host", "priority", "discovery_seq",
+                F.lit("fetch").alias("decision"), "sched_vt", "seq_in_host",
+            ).unionByName(denied)
         hs_new = politeness.advance_host_state(
-            host_state, robots, scheduled, errors, round_id, cfg
+            host_state, robots, sched_for_clock, errors, round_id, cfg
         )
 
         # ---- per-partition lineage counters (north_rule) ----
@@ -366,10 +483,16 @@ class CrawlEngine:
             .agg(
                 F.count("*").alias("urls_in"),
                 F.sum(F.when(F.col("fetch_status") == "ok", 1).otherwise(0)).alias("fetched"),
-                F.sum(F.when(F.col("fetch_status") == "missing", 1).otherwise(0)).alias(
+                F.sum(F.when(F.col("error_class").isNotNull(), 1).otherwise(0)).alias(
                     "failed"
                 ),
                 F.sum(F.when(F.col("fetch_status") == "ok", 1).otherwise(0)).alias("parsed"),
+                F.sum(
+                    F.when(F.col("error_class") == "too_many_calls", 1).otherwise(0)
+                ).alias("rate_limited"),
+                F.sum(
+                    F.when(F.col("error_class") == "unavailable", 1).otherwise(0)
+                ).alias("unavailable"),
             )
             .withColumn("round_id", F.lit(round_id))
             .withColumn("denied", F.lit(0).cast("long"))
@@ -377,15 +500,23 @@ class CrawlEngine:
         )
         if denied_cnt:
             denied_row = spark.createDataFrame(
-                [(round_id, -1, 0, 0, 0, 0, denied_cnt)], ROUNDS_SCHEMA
+                [(round_id, -1, 0, 0, 0, 0, denied_cnt, 0, 0)], ROUNDS_SCHEMA
             )
             lineage = lineage.unionByName(denied_row)
 
         # ---- stage writes, then atomic commit (success-only ≙ crawld.go:236-239)
         versions = {}
-        versions[T_FRONTIER] = cat.write(T_FRONTIER, fr_upd, advance_pointer=False)
+        versions[T_FRONTIER] = cat.upsert(
+            T_FRONTIER,
+            updates=fr_updates,
+            inserts=new_frontier_rows if admitted_cnt > 0 else None,
+            keys=["url"],
+            advance_pointer=False,
+        )
         mark("write_frontier")
-        versions[T_SEEN] = cat.write(T_SEEN, new_shards, advance_pointer=False)
+        versions[T_SEEN] = cat.upsert(
+            T_SEEN, updates=dirty_shards, keys=["shard_id"], advance_pointer=False
+        )
         mark("write_seen")
         versions[T_HOST] = cat.write(T_HOST, hs_new, advance_pointer=False)
         mark("write_host")
@@ -397,7 +528,7 @@ class CrawlEngine:
         mark("write_logs")
         cat.commit_round(round_id, versions)
 
-        for df in (frontier, scheduled, got, fetched_rows, admitted):
+        for df in (frontier, scheduled, got, fetched_rows, admitted, *seen_caches):
             df.unpersist()
         return {
             "round_id": round_id,
@@ -449,7 +580,13 @@ class CrawlEngine:
         stats = []
         r = last + 1
         rounds_run = 0
+        cfg = self.cfg
         while rounds_run < max_rounds:
+            if cfg.limit > 0 and not cfg.limit_per_language:
+                # global budget spent → stop paging (≙ the decrementing
+                # limit counter, crawlers/github.go:128-129,205-210)
+                if self.cat.read(T_FETCHED, FETCHED_SCHEMA).count() >= cfg.limit:
+                    break
             if not self.has_eligible(r):
                 # recrawl mode: idle rounds are skipped by advancing the
                 # virtual clock to the next due round (≙ crawld sleeping out
@@ -459,7 +596,18 @@ class CrawlEngine:
                     r = nxt
                     continue
                 break
-            stats.append(self.run_round(r))
+            st = self.run_round(r)
+            stats.append(st)
             rounds_run += 1
             r += 1
+            if (
+                cfg.limit > 0
+                and st["fetched"] == 0
+                and st["admitted"] == 0
+                and st["scheduled"] > 0
+            ):
+                # budget stalemate: everything schedulable is over-budget —
+                # the next round would be identical, stop (per-language
+                # budgets have no single global counter to test)
+                break
         return stats

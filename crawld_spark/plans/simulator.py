@@ -9,9 +9,21 @@ trace, same discovery_seq assignment, same final seen set and host clocks
 Mirrors plans/rounds.py step for step, including float arithmetic order
 (virtual clock adds), the since_seq first-round-only predicate
 (≙ /root/reference/crawld.go:116,266), retry-forever semantics
-(crawld.go:92-95), and the leaky-bucket throttle (crawld.go:404-409).
-Shares the literal extraction/canonicalization code with the engine
-(functions/url.py, functions/extract.py) — not a reimplementation.
+(crawld.go:92-95), the leaky-bucket throttle (crawld.go:404-409), the
+two-phase language filter (case-sensitive primary then case-insensitive
+fallback, crawlers/util.go:75-106), global/per-language fetch budgets
+(crawlers/github.go:121 vs :225), the two failure lanes (network → retry;
+non-network update error → destroy + re-clone, crawld.go:92-104), the
+too_many_calls rate-limit sleep (crawlers/github.go:98-107), and
+recrawl-after-k-rounds with the clone-vs-update branch (crawld.go:185-217).
+Shares the literal extraction/canonicalization/path code with the engine
+(functions/url.py, functions/extract.py, operators/politeness.path_of) —
+not a reimplementation.
+
+Page dict format: ``url -> {text, links, lang[, error]}`` where ``error`` is
+None (default), 'too_many_calls', or 'unavailable' — the C7 taxonomy classes
+(≙ crawlers/github.go:1005-1026). A url absent from the dict is a network
+error.
 """
 
 from __future__ import annotations
@@ -21,6 +33,7 @@ from dataclasses import dataclass, field
 
 from crawld_spark.config import CrawlConfig
 from crawld_spark.functions.url import canonicalize_one, host_of
+from crawld_spark.operators.politeness import path_of
 
 
 @dataclass
@@ -40,6 +53,7 @@ class SimRow:
     status: str = "pending"
     round_added: int = 0
     attempts: int = 0
+    last_round: int | None = None
 
 
 @dataclass
@@ -51,14 +65,8 @@ class SimResult:
     rounds_run: int = 0
 
 
-def _path_of(url: str) -> str:
-    i = url.find("://")
-    j = url.find("/", i + 3) if i >= 0 else -1
-    return url[j:] if j >= 0 else "/"
-
-
 def simulate(
-    pages: dict[str, dict],  # url -> {text, links, lang}
+    pages: dict[str, dict],  # url -> {text, links, lang[, error]}
     seeds: list[tuple[str, float]],
     robots: dict[str, tuple[list[str], float]],
     cfg: CrawlConfig,
@@ -68,6 +76,17 @@ def simulate(
     res = SimResult()
     fr = res.frontier
     hosts = res.hosts
+    lower_langs = {l.lower() for l in cfg.languages}
+
+    def lang_wanted(lang: str | None) -> str | None:
+        """F4 two-phase verdict: 'primary' | 'fallback' | None (reject)."""
+        if not cfg.languages:
+            return "primary"
+        if lang in cfg.languages:  # case-SENSITIVE stage 1
+            return "primary"
+        if cfg.lang_ci_fallback and lang is not None and lang.lower() in lower_langs:
+            return "fallback"  # case-INSENSITIVE stage 2
+        return None
 
     # ---- bootstrap (round 0): admit seeds ----
     cand: dict[str, float] = {}
@@ -82,16 +101,37 @@ def simulate(
         fr[url] = SimRow(url, host_of(url), cand[url], seq, "pending", 0, 0)
     max_seq = seq
 
+    # cumulative fetch-event counters for the F6 budget
+    total_fetches = 0
+    fetches_by_lang: dict[str, int] = {}
+
     # ---- fetch rounds ----
     for r in range(1, max_rounds + 1):
-        pending = [row for row in fr.values() if row.status == "pending"]
+        if cfg.limit > 0 and not cfg.limit_per_language and total_fetches >= cfg.limit:
+            break  # global budget spent (≙ crawlers/github.go:128-129)
+
+        def eligible(row: SimRow) -> bool:
+            if row.status == "pending":
+                return True
+            return (
+                cfg.recrawl_after_rounds > 0
+                and row.status == "fetched"
+                and row.last_round is not None
+                and row.last_round <= r - cfg.recrawl_after_rounds
+            )
+
+        pending = [row for row in fr.values() if eligible(row)]
         if r == 1 and cfg.since_seq > 0:
             pending = [row for row in pending if row.discovery_seq >= cfg.since_seq]
-        if not any(row.status == "pending" for row in fr.values()):
+        can_ever = any(row.status == "pending" for row in fr.values()) or (
+            cfg.recrawl_after_rounds > 0
+            and any(row.status == "fetched" for row in fr.values())
+        )
+        if not can_ever:
             break
         if not pending:
-            # nothing eligible this round but frontier still pending (since_seq
-            # excluded everything on round 1) — later rounds see everything
+            # nothing eligible this round (since_seq round-1 exclusion, or a
+            # recrawl gap the engine fast-forwards over) — no state changes
             res.rounds_run = r
             continue
         res.rounds_run = r
@@ -109,7 +149,7 @@ def simulate(
             heap: list[tuple[float, int, str]] = []
             rows_by_url = {}
             for row in rows:
-                if any(_path_of(row.url).startswith(p) for p in prefixes):
+                if any(path_of(row.url).startswith(p) for p in prefixes):
                     row.status = "denied"
                     continue
                 heapq.heappush(heap, (-row.priority, row.discovery_seq, row.url))
@@ -125,30 +165,85 @@ def simulate(
         if cfg.max_urls_per_round > 0:
             fetch_entries.sort(key=lambda e: (-e[0].priority, e[0].discovery_seq))
             fetch_entries = fetch_entries[: cfg.max_urls_per_round]
+        n_scheduled = len(fetch_entries)  # pre-budget-cap (engine's n_sched)
 
-        # ---- host clock advance (mirror of politeness.advance_host_state) ----
+        # ---- F6 fetch budget: over-budget would-be-OK rows drop out of the
+        # round entirely (stay pending, no clock slot — mirrors the engine's
+        # pre-cache window cut) ----
+        if cfg.limit > 0:
+            fetch_entries.sort(key=lambda e: (-e[0].priority, e[0].discovery_seq))
+            kept, used = [], {}
+            for row, vt in fetch_entries:
+                page = pages.get(row.url)
+                is_ok = (
+                    page is not None
+                    and page.get("error") is None
+                    and lang_wanted(page["lang"]) is not None
+                )
+                if is_ok:
+                    key = page["lang"] if cfg.limit_per_language else None
+                    prior = (
+                        fetches_by_lang.get(key, 0)
+                        if cfg.limit_per_language
+                        else total_fetches
+                    )
+                    if prior + used.get(key, 0) + 1 > cfg.limit:
+                        continue  # over budget → excluded from the round
+                    used[key] = used.get(key, 0) + 1
+                kept.append((row, vt))
+            fetch_entries = kept
+
+        # ---- host clock advance inputs (mirror of advance_host_state) ----
         per_host_sched: dict[str, list[float]] = {}
         for row, vt in fetch_entries:
             per_host_sched.setdefault(row.host, []).append(vt)
         errors_by_host: dict[str, int] = {}
+        rate_limited_hosts: set[str] = set()
 
         # ---- the fetch ----
         new_cand: dict[str, float] = {}
         ok_fetches: list[SimRow] = []
+
+        def retry(row: SimRow) -> None:
+            row.attempts += 1
+            if cfg.max_attempts > 0 and row.attempts >= cfg.max_attempts:
+                row.status = "failed"
+            else:
+                row.status = "pending"
+
         for row, vt in fetch_entries:
+            fetch_kind = "clone" if row.last_round is None else "update"
             page = pages.get(row.url)
             if page is None:
-                row.attempts += 1
-                if cfg.max_attempts > 0 and row.attempts >= cfg.max_attempts:
-                    row.status = "failed"
+                # network error lane: skip, retry next round (crawld.go:92-95)
                 errors_by_host[row.host] = errors_by_host.get(row.host, 0) + 1
+                retry(row)
                 continue
-            if cfg.languages and page["lang"] not in cfg.languages:
+            err = page.get("error")
+            if err is not None:
+                errors_by_host[row.host] = errors_by_host.get(row.host, 0) + 1
+                if err == "too_many_calls":
+                    rate_limited_hosts.add(row.host)
+                    retry(row)
+                elif err == "unavailable" and fetch_kind == "update":
+                    # destroy + re-clone lane (crawld.go:97-104): reset to
+                    # first-contact state; next fetch is a clone
+                    row.status = "pending"
+                    row.last_round = None
+                    row.attempts = 0
+                else:
+                    retry(row)
+                continue
+            stage = lang_wanted(page["lang"])
+            if stage is None:
                 row.status = "filtered"
                 continue
             row.status = "fetched"
+            row.last_round = r
             res.fetched_text[row.url] = page["text"]
             ok_fetches.append(row)
+            total_fetches += 1
+            fetches_by_lang[page["lang"]] = fetches_by_lang.get(page["lang"], 0) + 1
             for raw in page["links"]:
                 cu = canonicalize_one(raw)
                 if cu is None:
@@ -177,6 +272,11 @@ def simulate(
                 st.next_allowed_vt = max(vts) + st.crawl_delay_s
             else:
                 st.next_allowed_vt = max(st.next_allowed_vt, t_start)
+            if host in rate_limited_hosts:
+                # sleep until quota reset (≙ crawlers/github.go:98-107)
+                st.next_allowed_vt = (
+                    max(st.next_allowed_vt, t_end) + cfg.rate_limit_wait_s
+                )
             n_err = errors_by_host.get(host, 0)
             leaked = max(0.0, st.error_score - (t_end - st.last_error_vt) / cfg.throttler_leak_s)
             st.error_score = leaked + float(n_err)
@@ -185,5 +285,10 @@ def simulate(
             if st.error_score >= cfg.throttler_window:
                 st.next_allowed_vt += cfg.throttler_wait_s
                 st.error_score = 0.0
+
+        # budget stalemate mirror (rounds.py run()): everything schedulable
+        # is over-budget → the next round would be identical, stop
+        if cfg.limit > 0 and not ok_fetches and not admitted and n_scheduled > 0:
+            break
 
     return res

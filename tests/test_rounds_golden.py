@@ -204,6 +204,206 @@ class TestResume:
         assert frontier_after == frontier_before
 
 
+def _pages_df_from_py(spark, pages_dict):
+    """Engine-side twin of a simulator pages dict, including the C7 error
+    columns (http_status/err_msg) that trigger the reference's
+    classification-by-substring (crawlers/github.go:1005-1026)."""
+    import datetime as dt
+
+    from crawld_spark.functions.extract import wrap_html_one
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    msg_of = {
+        "too_many_calls": "GET /x: 403 API rate limit exceeded for 1.2.3.4",
+        "unavailable": "GET /x: 403 Repository access blocked",
+    }
+    rows = []
+    for i, (url, p) in enumerate(sorted(pages_dict.items())):
+        err = p.get("error")
+        rows.append(
+            (
+                url,
+                base + dt.timedelta(seconds=i),
+                wrap_html_one(url, p["text"], p["links"]),
+                p["text"],
+                p["lang"],
+                403 if err else 200,
+                msg_of.get(err),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string,"
+        " http_status int, err_msg string",
+    )
+
+
+@pytest.mark.usefixtures("spark")
+class TestLangTwoPhase:
+    """F4 stage-2: case-SENSITIVE primary match, then case-INSENSITIVE
+    fallback (≙ isLanguageWanted, crawlers/util.go:75-106; EqualFold :85)."""
+
+    def test_fallback_admits_case_mismatch(self, spark, warehouse):
+        # config says "En"/"De"; the web's langs are lowercase → every match
+        # is a stage-2 (fallback) match
+        engine, seeds, cfg = build_engine(spark, warehouse, languages=["En", "De"])
+        engine.run(seeds, max_rounds=30)
+        sim = sim_result(cfg)
+        assert engine_trace(engine) == sim.trace
+        fr = {r.url: r.status for r in engine.cat.read("frontier").collect()}
+        assert fr == {u: row.status for u, row in sim.frontier.items()}
+        fetched = engine.cat.read("fetched").collect()
+        assert len(fetched) > 0
+        assert {r.lang_stage for r in fetched} == {"fallback"}
+
+    def test_fallback_off_filters(self, spark, warehouse):
+        engine, seeds, cfg = build_engine(
+            spark, warehouse, languages=["En", "De"], lang_ci_fallback=False
+        )
+        engine.run(seeds, max_rounds=30)
+        sim = sim_result(cfg)
+        assert engine_trace(engine) == sim.trace == []  # nothing passes stage 1
+        fr = {r.url: r.status for r in engine.cat.read("frontier").collect()}
+        assert fr == {u: row.status for u, row in sim.frontier.items()}
+        assert "filtered" in set(fr.values())
+
+    def test_primary_stage_marked(self, spark, warehouse):
+        engine, seeds, cfg = build_engine(spark, warehouse, languages=["en", "de"])
+        engine.run(seeds, max_rounds=30)
+        fetched = engine.cat.read("fetched").collect()
+        assert len(fetched) > 0
+        assert {r.lang_stage for r in fetched} == {"primary"}
+
+
+@pytest.mark.usefixtures("spark")
+class TestFetchBudget:
+    """F6 limit semantics: global (crawlers/github.go:121,128-129) vs
+    per-language (crawlers/github.go:225,260-262; README.md:146-152)."""
+
+    def test_global_limit(self, spark, warehouse):
+        engine, seeds, cfg = build_engine(spark, warehouse, limit=7)
+        engine.run(seeds, max_rounds=30)
+        sim = sim_result(cfg)
+        assert engine_trace(engine) == sim.trace
+        n = engine.cat.read("fetched").count()
+        assert n == len(sim.trace) <= 7
+        fr = {r.url: r.status for r in engine.cat.read("frontier").collect()}
+        assert fr == {u: row.status for u, row in sim.frontier.items()}
+
+    def test_per_language_limit(self, spark, warehouse):
+        engine, seeds, cfg = build_engine(
+            spark, warehouse, limit=3, limit_per_language=True
+        )
+        engine.run(seeds, max_rounds=30)
+        sim = sim_result(cfg)
+        assert engine_trace(engine) == sim.trace
+        by_lang = {
+            r.lang: r.n
+            for r in engine.cat.read("fetched")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert by_lang and all(n <= 3 for n in by_lang.values())
+        fr = {r.url: r.status for r in engine.cat.read("frontier").collect()}
+        assert fr == {u: row.status for u, row in sim.frontier.items()}
+
+
+@pytest.mark.usefixtures("spark")
+class TestFailureLanes:
+    """C7 taxonomy + the two failure lanes (crawld.go:92-104): network →
+    retry next round; too_many_calls → rate-limit sleep; non-network update
+    error → destroy + re-clone."""
+
+    def _pages_dict(self, error_host=None, error=None):
+        d = pages_py(40, 4, SEED, fanout=2)
+        if error_host is not None:
+            for url in d:
+                if f"host{error_host}." in url:
+                    d[url] = dict(d[url], error=error)
+        return d
+
+    def test_too_many_calls_golden(self, spark, warehouse):
+        """Rate-limited host: engine's frontier/host clocks match the
+        simulator exactly, and the taxonomy lands in lineage."""
+        pages_dict = self._pages_dict(error_host=0, error="too_many_calls")
+        pages = _pages_df_from_py(spark, pages_dict)
+        cfg = mk_cfg(warehouse, rate_limit_wait_s=25.0, max_attempts=2)
+        seeds = spark.createDataFrame(
+            seeds_py(40, 4, n_seeds=5, seed=SEED), "url string, priority double"
+        )
+        engine = CrawlEngine(spark, cfg, pages, generate_robots(spark, 4, SEED))
+        engine.run(seeds, max_rounds=12)
+        sim = simulate(pages_dict, seeds_py(40, 4, n_seeds=5, seed=SEED),
+                       robots_py(4, cfg.default_crawl_delay_s), cfg, max_rounds=12)
+        assert engine_trace(engine) == sim.trace
+        fr = {r.url: (r.status, r.attempts) for r in engine.cat.read("frontier").collect()}
+        assert fr == {u: (row.status, row.attempts) for u, row in sim.frontier.items()}
+        hs = {r.host: (r.next_allowed_vt, r.error_score)
+              for r in engine.cat.read("host_state").collect()}
+        assert hs == {h: (s.next_allowed_vt, s.error_score) for h, s in sim.hosts.items()}
+        lineage = engine.cat.read("rounds")
+        assert lineage.agg(F.sum("rate_limited")).collect()[0][0] > 0
+        assert lineage.agg(F.sum("unavailable")).collect()[0][0] == 0
+
+    def test_unavailable_clone_retries_golden(self, spark, warehouse):
+        """'unavailable' on a first contact (clone) is NOT the re-clone lane
+        — it retries like a network error (crawld.go:79-83 log-and-skip)."""
+        pages_dict = self._pages_dict(error_host=1, error="unavailable")
+        pages = _pages_df_from_py(spark, pages_dict)
+        cfg = mk_cfg(warehouse, max_attempts=2)
+        seeds = spark.createDataFrame(
+            seeds_py(40, 4, n_seeds=5, seed=SEED), "url string, priority double"
+        )
+        engine = CrawlEngine(spark, cfg, pages, generate_robots(spark, 4, SEED))
+        engine.run(seeds, max_rounds=12)
+        sim = simulate(pages_dict, seeds_py(40, 4, n_seeds=5, seed=SEED),
+                       robots_py(4, cfg.default_crawl_delay_s), cfg, max_rounds=12)
+        assert engine_trace(engine) == sim.trace
+        fr = {r.url: (r.status, r.attempts, r.last_round)
+              for r in engine.cat.read("frontier").collect()}
+        assert fr == {u: (row.status, row.attempts, row.last_round)
+                      for u, row in sim.frontier.items()}
+        assert engine.cat.read("rounds").agg(F.sum("unavailable")).collect()[0][0] > 0
+
+    def test_failed_update_reenters_as_clone(self, spark, warehouse):
+        """The destroy-and-re-clone lane (crawld.go:97-104): a non-network
+        error on an UPDATE resets the row to first-contact state — the next
+        successful fetch is a 'clone' again."""
+        ok_dict = pages_py(20, 2, SEED, fanout=0)
+        err_dict = {u: dict(p, error="unavailable") for u, p in ok_dict.items()}
+        seeds = spark.createDataFrame(
+            seeds_py(20, 2, n_seeds=3, seed=SEED), "url string, priority double"
+        )
+        kw = dict(
+            round_duration_s=1e9, default_crawl_delay_s=0.0,
+            max_urls_per_host_per_round=100, recrawl_after_rounds=1,
+        )
+        robots = generate_robots(spark, 2, SEED, 0.0)
+
+        # round 1: healthy web → clone ok
+        e1 = CrawlEngine(spark, mk_cfg(warehouse, **kw),
+                         _pages_df_from_py(spark, ok_dict), robots)
+        e1.run(seeds, max_rounds=1)
+        # round 2: web turns 'unavailable' → update fails non-network
+        e2 = CrawlEngine(spark, mk_cfg(warehouse, **kw),
+                         _pages_df_from_py(spark, err_dict), robots)
+        e2.run(None, max_rounds=1)
+        fr = {r.url: r for r in e2.cat.read("frontier").collect()}
+        seeded = [r for r in fr.values() if r.round_added == 0]
+        assert seeded and all(
+            r.status == "pending" and r.last_round is None and r.attempts == 0
+            for r in seeded
+        )
+        # round 3: web healthy again → the re-fetch is a CLONE, not an update
+        e3 = CrawlEngine(spark, mk_cfg(warehouse, **kw),
+                         _pages_df_from_py(spark, ok_dict), robots)
+        e3.run(None, max_rounds=1)
+        r3 = [r for r in e3.cat.read("fetched").collect() if r.round_id == 3]
+        assert r3 and all(r.fetch_kind == "clone" for r in r3)
+        assert e3.cat.read("rounds").agg(F.sum("unavailable")).collect()[0][0] > 0
+
+
 @pytest.mark.usefixtures("spark")
 class TestRecrawl:
     """recrawl_after_rounds ≙ the reference's full re-fetch pass

@@ -91,12 +91,15 @@ class TestAdmission:
         cand1 = spark.createDataFrame([(u, 1.0) for u in urls1], "url string, priority double")
         empty_frontier = spark.createDataFrame([], "url string")
 
-        adm1, shards1 = admit_new_urls(
-            spark, cand1, shards, empty_frontier, n_shards, bloom_bits, round_id=0
+        adm1, dirty1, caches1 = admit_new_urls(
+            spark, cand1, shards, empty_frontier, n_shards, round_id=0
         )
         adm1 = adm1.cache()
         assert sorted(r.url for r in adm1.select("url").collect()) == sorted(urls1)
-        shards1 = shards1.cache()
+        # merge dirty blobs over the base (what Catalog.upsert does per round)
+        shards1 = dirty1.unionByName(
+            shards.join(dirty1.select("shard_id"), on="shard_id", how="left_anti")
+        ).cache()
         assert shards1.count() == n_shards
         assert shards1.agg(F.sum("n_items")).collect()[0][0] == 300
 
@@ -104,12 +107,19 @@ class TestAdmission:
         urls2 = urls1[:150] + [f"http://h9.com/q/{i}" for i in range(100)]
         cand2 = spark.createDataFrame([(u, 2.0) for u in urls2], "url string, priority double")
         frontier_urls = spark.createDataFrame([(u,) for u in urls1], "url string")
-        adm2, shards2 = admit_new_urls(
-            spark, cand2, shards1, frontier_urls, n_shards, bloom_bits, round_id=1
+        adm2, dirty2, caches2 = admit_new_urls(
+            spark, cand2, shards1, frontier_urls, n_shards, round_id=1
         )
         got = sorted(r.url for r in adm2.select("url").collect())
         assert got == sorted(f"http://h9.com/q/{i}" for i in range(100))
+        shards2 = dirty2.unionByName(
+            shards1.join(dirty2.select("shard_id"), on="shard_id", how="left_anti")
+        )
         assert shards2.agg(F.sum("n_items")).collect()[0][0] == 400
+        # wave 2 had new urls on one host only → not every shard is dirty
+        assert dirty2.count() <= n_shards
+        for df in (adm1, adm2, *caches1, *caches2):
+            df.unpersist()
 
     def test_hash_routing_jvm_side(self, spark):
         df = spark.createDataFrame([("http://a/",), ("http://b/",)], "url string")
@@ -163,15 +173,23 @@ class TestBloomPrepassModes:
         for bb in (False, True):
             shards = empty_shards(spark, n_shards, 1 << 10, bloom_bits)
             c1 = spark.createDataFrame([(u, 1.0) for u in urls1], "url string, priority double")
-            a1, s1 = admit_new_urls(spark, c1, shards, ef, n_shards, bloom_bits, 0,
-                                    broadcast_bloom=bb)
+            a1, d1, k1 = admit_new_urls(spark, c1, shards, ef, n_shards, 0,
+                                        broadcast_bloom=bb)
             a1.count()
+            s1 = d1.unionByName(
+                shards.join(d1.select("shard_id"), on="shard_id", how="left_anti")
+            ).cache()
             c2 = spark.createDataFrame([(u, 2.0) for u in urls2], "url string, priority double")
-            a2, s2 = admit_new_urls(spark, c2, s1, frontier1, n_shards, bloom_bits, 1,
-                                    broadcast_bloom=bb)
+            a2, d2, k2 = admit_new_urls(spark, c2, s1, frontier1, n_shards, 1,
+                                        broadcast_bloom=bb)
+            s2 = d2.unionByName(
+                s1.join(d2.select("shard_id"), on="shard_id", how="left_anti")
+            )
             results.append(
                 (sorted(r.url for r in a2.select("url").collect()),
                  s2.agg(F.sum("n_items")).collect()[0][0])
             )
+            for df in (a1, a2, s1, *k1, *k2):
+                df.unpersist()
         assert results[0] == results[1]
         assert results[0][0] == sorted(f"http://h7.com/q/{i}" for i in range(80))

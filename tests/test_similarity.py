@@ -1,0 +1,96 @@
+"""ANN operator tests: IVF multi-probe correctness and recall vs the
+brute-force baseline, plus the multimodal frame-sampling row-explosion
+shape. (The oracle twins in queries.py cover cross-engine exactness; these
+cover the algorithmic properties.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawld_spark.operators.multimodal import frame_sample_stub
+from crawld_spark.operators.similarity import brute_force_topk, ivf_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _topk_map(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.qid, set()).add(r.nid)
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+class TestIVF:
+    def test_probe_all_cells_equals_brute(self, spark):
+        """n_probe = #cells ⇒ IVF degenerates to exact brute force."""
+        emb = _emb(spark)
+        q = emb.where(F.col("vec_id") < 5)
+        c = emb.where(F.col("vec_id") >= 5)
+        n_cells = c.select("label").distinct().count()
+        brute = sorted(map(tuple, brute_force_topk(q, c, k=5).collect()))
+        ivf = sorted(map(tuple, ivf_topk(q, c, k=5, n_probe=n_cells).collect()))
+        assert ivf == brute
+
+    def test_multi_probe_recall(self, spark):
+        """Recall@5 is monotone in n_probe (probed set is a superset) and
+        beats the single-cell floor. The testdata labels are NOT clustered
+        in embedding space, so recall ≈ n_probe/cells here — the property
+        under test is the dial, not a clustering-quality number (measured:
+        0.18 / 0.34 / 0.54 / 0.80 at n_probe 1/2/4/8 over 10 cells)."""
+        emb = _emb(spark)
+        q = emb.where(F.col("vec_id") < 10)
+        c = emb.where(F.col("vec_id") >= 10)
+        truth = _topk_map(brute_force_topk(q, c, k=5))
+
+        def recall(n_probe):
+            got = _topk_map(ivf_topk(q, c, k=5, n_probe=n_probe))
+            hits = sum(len(got.get(qid, set()) & t) for qid, t in truth.items())
+            return hits / sum(len(t) for t in truth.values())
+
+        r1, r2, r4 = recall(1), recall(2), recall(4)
+        assert 0.0 < r1 <= r2 <= r4 <= 1.0, (r1, r2, r4)
+        assert r4 >= 0.3, (r1, r2, r4)
+
+    def test_rank_contract(self, spark):
+        emb = _emb(spark)
+        out = ivf_topk(
+            emb.where(F.col("vec_id") < 3), emb.where(F.col("vec_id") >= 3),
+            k=5, n_probe=2,
+        ).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.qid, []).append(r)
+        for qid, rows in by_q.items():
+            rows.sort(key=lambda r: r.rank)
+            assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+            cosines = [r.cos for r in rows]
+            assert cosines == sorted(cosines, reverse=True)
+
+
+@pytest.mark.usefixtures("spark")
+class TestFrameSample:
+    def test_row_explosion_shape(self, spark):
+        df = spark.createDataFrame(
+            [(1, b"0123456789" * 3 + b"abc"), (2, b"xy"), (3, b"")],
+            "doc_id long, payload binary",
+        )
+        rows = frame_sample_stub(df, every_n=10).collect()
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r.doc_id, []).append(r)
+        # 33 bytes → 3 frames; 2 bytes → 1 partial frame; empty → 1 empty frame
+        assert len(by_id[1]) == 3
+        assert [bytes(r.frame_bytes) for r in sorted(by_id[1], key=lambda r: r.frame_idx)] == [
+            b"0123456789", b"0123456789", b"0123456789"
+        ]
+        assert len(by_id[2]) == 1 and bytes(by_id[2][0].frame_bytes) == b"xy"
+        assert len(by_id[3]) == 1 and bytes(by_id[3][0].frame_bytes) == b""
+
+    def test_frame_cap(self, spark):
+        df = spark.createDataFrame([(1, b"z" * 1000)], "doc_id long, payload binary")
+        rows = frame_sample_stub(df, every_n=10).collect()
+        assert len(rows) == 8  # capped at 8 frames per row

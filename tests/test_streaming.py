@@ -76,6 +76,33 @@ class TestStreamingRounds:
         # committed rounds have fetched rows
         assert sc.engine.cat.read("fetched").count() > 0
 
+    def test_streaming_recrawl_fast_forwards(self, spark, tmp_path):
+        """With recrawl_after_rounds > 0, a drained frontier must NOT stall
+        the streaming crawl: ticks fast-forward the virtual clock to the
+        next due round like the batch driver does (ADVICE r1)."""
+        pages = generate_pages(spark, 40, 4, seed=9, fanout=0, partitions=2).cache()
+        seeds = generate_seeds(spark, 40, 4, n_seeds=4, seed=9)
+        cfg = CrawlConfig(
+            warehouse=str(tmp_path / "rc"),
+            round_duration_s=1e9,
+            default_crawl_delay_s=0.0,
+            max_urls_per_host_per_round=100,
+            n_seen_shards=4,
+            bloom_bits=1 << 14,
+            shuffle_partitions=8,
+            salt_buckets=2,
+            recrawl_after_rounds=2,
+        )
+        sc = StreamingCrawl(spark, cfg, pages, generate_robots(spark, 4, 9, 0.0))
+        sc.start(seeds, max_rounds=3, available_now=True)
+        # fanout=0: rounds continue ONLY via recrawl — round 1 clones, the
+        # next ticks fast-forward to rounds 3 and 5 (k=2) and update
+        rounds = sorted(st["round_id"] for st in sc.round_stats)
+        assert rounds == [1, 3, 5]
+        kinds = {(r.round_id, r.fetch_kind)
+                 for r in sc.engine.cat.read("fetched").collect()}
+        assert (1, "clone") in kinds and (3, "update") in kinds
+
     def test_streaming_resume_is_noop_safe(self, spark, tmp_path):
         """A second drain over a finished warehouse must not add rounds
         (idempotent ticks — exactly-once round commits)."""
