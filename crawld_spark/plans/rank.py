@@ -43,11 +43,12 @@ def global_rank(
     best-effort when this DataFrame is garbage-collected.
     """
     if num_partitions is None:
-        # scale with the input: ranking shrinks no data, so the range
-        # shuffle should be at least as wide as the input (and never below
-        # the session's shuffle width). Driver cost is O(n_parts) longs.
-        sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        num_partitions = max(sp, df.rdd.getNumPartitions())
+        # full session shuffle width — no magic cap (r1's min(..., 64) put
+        # ~1.6M rows/partition at 10^8 admissions/round). Driver cost is
+        # O(n_parts) longs, so thousands of partitions are fine; deployments
+        # size spark.sql.shuffle.partitions to the cluster, which is exactly
+        # the right width for a shuffle that shrinks no data.
+        num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     n_parts = max(1, num_partitions)
 
     d = (

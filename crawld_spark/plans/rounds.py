@@ -120,6 +120,8 @@ class CrawlEngine:
         self.robots = robots if robots is not None else spark.createDataFrame(
             [], "host string, disallow_prefixes array<string>, crawl_delay_s double"
         )
+        # carried max(discovery_seq); None = not yet read from the frontier
+        self._max_seq: int | None = None
 
     # ---------------- bootstrap (round 0 = seed admission) ----------------
     def bootstrap(self, seeds: DataFrame) -> None:
@@ -235,8 +237,13 @@ class CrawlEngine:
 
         fetch_list = scheduled.where(F.col("decision") == "fetch")
         denied = scheduled.where(F.col("decision") == "denied")
-        n_sched = fetch_list.count()  # materializes the schedule once
-        denied_cnt = denied.count()  # cached — cheap
+        # ONE job materializes the schedule cache and yields both counters
+        dec_counts = {
+            r["decision"]: r["n"]
+            for r in scheduled.groupBy("decision").agg(F.count("*").alias("n")).collect()
+        }
+        n_sched = int(dec_counts.get("fetch", 0))
+        denied_cnt = int(dec_counts.get("denied", 0))
         mark("schedule")
 
         # ---- the fetch: LEFT JOIN against the simulated web (J5) ----
@@ -297,12 +304,26 @@ class CrawlEngine:
             .withColumn("error_class", err_class)
             .withColumn("lang_stage", lang_stage)
             .withColumn(
+                # F3 fork skip runs BEFORE the language filter (observable
+                # ordering, crawlers/github.go:166-182 — a fork never pays
+                # the language lookup); pages may carry an is_fork column
+                "_fork_skip",
+                F.lit(not cfg.keep_forks)
+                & (
+                    F.coalesce(F.col("is_fork"), F.lit(False))
+                    if "is_fork" in self.pages.columns
+                    else F.lit(False)
+                ),
+            )
+            .withColumn(
                 "fetch_status",
                 F.when(F.col("error_class") == "network", F.lit("missing"))
                 .when(F.col("error_class").isNotNull(), F.lit("error"))
+                .when(F.col("_fork_skip"), F.lit("filtered"))
                 .when(F.col("lang_stage").isNotNull(), F.lit("ok"))
                 .otherwise(F.lit("filtered")),
             )
+            .drop("_fork_skip")
         )
 
         # ---- F6: total-fetch budget (crawlers/github.go:121 global;
@@ -370,8 +391,13 @@ class CrawlEngine:
             spark, cand, shards, frontier.select("url"),
             cfg.n_seen_shards, round_id=round_id,
         )
-        max_seq = frontier.agg(F.max("discovery_seq")).collect()[0][0] or 0
-        admitted_cnt = admitted.count()  # materializes the admission chain once
+        # max discovery_seq: one query on first use, then carried in-memory
+        # across this engine's rounds (seq assignment is deterministic:
+        # next max = max + admitted); a fresh engine (resume) re-reads
+        if self._max_seq is None:
+            self._max_seq = frontier.agg(F.max("discovery_seq")).collect()[0][0] or 0
+        max_seq = self._max_seq
+        admitted_cnt = admitted.count()  # cheap: counts checkpointed blocks
         mark("admit")
         if admitted_cnt > 0:
             ranked = global_rank(
@@ -505,28 +531,39 @@ class CrawlEngine:
             lineage = lineage.unionByName(denied_row)
 
         # ---- stage writes, then atomic commit (success-only ≙ crawld.go:236-239)
+        # per-round deltas are budget-bounded (≪ frontier): coalesce them to
+        # a few files so a write is a handful of tasks, not one tiny file
+        # per shuffle partition (the upstream reads are cached, so coalesce
+        # costs nothing; at cluster scale raise shuffle_partitions and this
+        # scales with it)
+        small = max(1, cfg.shuffle_partitions // 8)
         versions = {}
         versions[T_FRONTIER] = cat.upsert(
             T_FRONTIER,
-            updates=fr_updates,
-            inserts=new_frontier_rows if admitted_cnt > 0 else None,
+            updates=fr_updates.coalesce(small),
+            inserts=new_frontier_rows.coalesce(small) if admitted_cnt > 0 else None,
             keys=["url"],
             advance_pointer=False,
         )
         mark("write_frontier")
         versions[T_SEEN] = cat.upsert(
-            T_SEEN, updates=dirty_shards, keys=["shard_id"], advance_pointer=False
+            T_SEEN, updates=dirty_shards.coalesce(small), keys=["shard_id"],
+            advance_pointer=False,
         )
         mark("write_seen")
-        versions[T_HOST] = cat.write(T_HOST, hs_new, advance_pointer=False)
+        versions[T_HOST] = cat.write(T_HOST, hs_new.coalesce(small),
+                                     advance_pointer=False)
         mark("write_host")
         versions[T_FETCHED] = cat.append(T_FETCHED, fetched_rows, FETCHED_SCHEMA,
                                          advance_pointer=False)
-        versions[T_ROUNDS] = cat.append(T_ROUNDS, lineage, ROUNDS_SCHEMA,
+        versions[T_ROUNDS] = cat.append(T_ROUNDS, lineage.coalesce(1), ROUNDS_SCHEMA,
                                         advance_pointer=False)
         versions[T_ROBOTS] = cat.current_version(T_ROBOTS)
         mark("write_logs")
         cat.commit_round(round_id, versions)
+        # advance the carried sequence counter only AFTER the commit — a
+        # crashed round must not leak its (discarded) seq range into a retry
+        self._max_seq = max_seq + admitted_cnt
 
         for df in (frontier, scheduled, got, fetched_rows, admitted, *seen_caches):
             df.unpersist()
@@ -581,13 +618,18 @@ class CrawlEngine:
         r = last + 1
         rounds_run = 0
         cfg = self.cfg
+        prev_admitted = -1  # unknown before the first round of this run
         while rounds_run < max_rounds:
             if cfg.limit > 0 and not cfg.limit_per_language:
                 # global budget spent → stop paging (≙ the decrementing
                 # limit counter, crawlers/github.go:128-129,205-210)
                 if self.cat.read(T_FETCHED, FETCHED_SCHEMA).count() >= cfg.limit:
                     break
-            if not self.has_eligible(r):
+            if prev_admitted > 0:
+                # the last round admitted fresh pending rows — eligibility
+                # is guaranteed, skip the frontier probe job
+                pass
+            elif not self.has_eligible(r):
                 # recrawl mode: idle rounds are skipped by advancing the
                 # virtual clock to the next due round (≙ crawld sleeping out
                 # its fetch_time_interval between passes, crawld.go:247-248)
@@ -598,6 +640,7 @@ class CrawlEngine:
                 break
             st = self.run_round(r)
             stats.append(st)
+            prev_admitted = st["admitted"]
             rounds_run += 1
             r += 1
             if (

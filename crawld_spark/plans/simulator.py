@@ -178,6 +178,7 @@ def simulate(
                 is_ok = (
                     page is not None
                     and page.get("error") is None
+                    and not (not cfg.keep_forks and page.get("fork"))
                     and lang_wanted(page["lang"]) is not None
                 )
                 if is_ok:
@@ -233,6 +234,11 @@ def simulate(
                     row.attempts = 0
                 else:
                     retry(row)
+                continue
+            if not cfg.keep_forks and page.get("fork"):
+                # F3: fork skip runs BEFORE the language filter
+                # (crawlers/github.go:166-182 ordering)
+                row.status = "filtered"
                 continue
             stage = lang_wanted(page["lang"])
             if stage is None:

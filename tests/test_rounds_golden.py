@@ -229,12 +229,13 @@ def _pages_df_from_py(spark, pages_dict):
                 p["lang"],
                 403 if err else 200,
                 msg_of.get(err),
+                bool(p.get("fork", False)),
             )
         )
     return spark.createDataFrame(
         rows,
         "url string, warc_ts timestamp, html binary, text string, lang string,"
-        " http_status int, err_msg string",
+        " http_status int, err_msg string, is_fork boolean",
     )
 
 
@@ -307,6 +308,41 @@ class TestFetchBudget:
         assert by_lang and all(n <= 3 for n in by_lang.values())
         fr = {r.url: r.status for r in engine.cat.read("frontier").collect()}
         assert fr == {u: row.status for u, row in sim.frontier.items()}
+
+
+@pytest.mark.usefixtures("spark")
+class TestForkSkip:
+    """F3: forks are skipped BEFORE the language filter unless keep_forks
+    (≙ crawlers/github.go:166-168, ordering :166-182)."""
+
+    def _dicts(self):
+        d = pages_py(40, 4, SEED, fanout=2)
+        for i, url in enumerate(sorted(d)):
+            if i % 3 == 0:
+                d[url] = dict(d[url], fork=True)
+        return d
+
+    def test_forks_filtered_golden(self, spark, warehouse):
+        pages_dict = self._dicts()
+        seeds_list = seeds_py(40, 4, n_seeds=6, seed=SEED)
+        for keep in (False, True):
+            wh = f"{warehouse}/k{int(keep)}"
+            cfg = mk_cfg(wh, keep_forks=keep)
+            engine = CrawlEngine(
+                spark, cfg, _pages_df_from_py(spark, pages_dict),
+                generate_robots(spark, 4, SEED),
+            )
+            engine.run(
+                spark.createDataFrame(seeds_list, "url string, priority double"),
+                max_rounds=12,
+            )
+            sim = simulate(pages_dict, seeds_list,
+                           robots_py(4, cfg.default_crawl_delay_s), cfg, max_rounds=12)
+            assert engine_trace(engine) == sim.trace, f"keep_forks={keep}"
+            fr = {r.url: r.status for r in engine.cat.read("frontier").collect()}
+            assert fr == {u: row.status for u, row in sim.frontier.items()}
+            if not keep:
+                assert "filtered" in set(fr.values())
 
 
 @pytest.mark.usefixtures("spark")
