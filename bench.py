@@ -165,7 +165,7 @@ def _frontier_wave(spark, tag: str) -> dict:
         mark("schedule")
         wall = time.perf_counter() - t0
         for df in (admitted, *seen_caches):
-            df.unpersist()
+            seen.release_df(df)
         return {
             "frontier_raw_urls": n,
             "frontier_admitted": n_admitted,

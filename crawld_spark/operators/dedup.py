@@ -78,7 +78,19 @@ def minhash_lsh_buckets(
     text_col: str = "text",
 ) -> DataFrame:
     """MinHash signatures → LSH bands → bucket rows. Docs sharing a band
-    bucket are near-dup candidates. Output: (band_id, band_key, doc_id)."""
+    bucket are near-dup candidates. Output: (band_id, band_key, doc_id).
+
+    Plan shape, measured (sf0.1, warm, local[32]): the per-band
+    union-of-projections (8.0 s) beats both an explode of band structs
+    (12.9 s) and a signature-materializing exchange + explode (13.8 s).
+    Catalyst collapses the signature projection into each consumer either
+    way, so every variant evaluates n_hashes seeded mins per doc — but the
+    union keeps them in plain whole-stage-codegen'd projections over
+    n_bands× the rows, where the generator (GenerateExec) variant evaluates
+    all mins inside one pass per row outside codegen's vectorized sweet
+    spot. Scale: the union reads the doc text n_bands times — fine when the
+    source is columnar storage; if the upstream is an expensive subplan,
+    cache it first."""
     sig = docs.select(F.col(id_col), *minhash_sig(shingles(F.col(text_col), shingle_k), n_hashes))
     n_bands = n_hashes // band_size
     bands = []

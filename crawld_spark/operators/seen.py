@@ -281,6 +281,23 @@ def empty_shards(spark: SparkSession, n_shards: int, capacity: int, bloom_bits: 
     )
 
 
+def release_df(df: DataFrame) -> None:
+    """Free a materialized DataFrame's executor storage deterministically —
+    works for both .cache() (CacheManager) and .localCheckpoint() frames
+    (whose blocks live on the underlying LogicalRDD and are otherwise freed
+    only when the JVM object is GC'd — unbounded lag on a long crawl)."""
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort: ContextCleaner frees on GC as the backstop
+
+
 def with_url_hash(df: DataFrame, n_shards: int, url_col: str = "url") -> DataFrame:
     """JVM-side hash + shard columns; whole-stage-codegen'd, no Python."""
     return df.withColumn("h", F.xxhash64(F.col(url_col))).withColumn(

@@ -183,7 +183,7 @@ class CrawlEngine:
         }
         cat.commit_round(0, versions)
         for df in (admitted, *seen_caches):
-            df.unpersist()
+            seen.release_df(df)
 
     # ---------------- one fetch round ----------------
     def run_round(self, round_id: int) -> dict:
@@ -566,7 +566,7 @@ class CrawlEngine:
         self._max_seq = max_seq + admitted_cnt
 
         for df in (frontier, scheduled, got, fetched_rows, admitted, *seen_caches):
-            df.unpersist()
+            seen.release_df(df)
         return {
             "round_id": round_id,
             "scheduled": n_sched,

@@ -69,3 +69,42 @@ class TestPlanShapes:
         plan = _plan(ranked)
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker not in plan, f"python stage {marker} in rank plan"
+
+    def test_rank_width_follows_session(self, spark):
+        """>64 partitions must survive (r1 capped at 64) and stay identical
+        to the single-task window oracle."""
+        from pyspark.sql.window import Window
+
+        from crawld_spark.plans.rank import global_rank
+
+        df = spark.range(0, 2000).select(
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+            (F.col("id") % 7).cast("double").alias("priority"),
+        )
+        ranked = global_rank(
+            df, [F.desc("priority"), F.asc("url")], out="seq", num_partitions=96
+        )
+        got = {r.url: r.seq for r in ranked.collect()}
+        w = Window.orderBy(F.desc("priority"), F.asc("url"))
+        want = {r.url: r.seq for r in df.withColumn("seq", F.row_number().over(w)).collect()}
+        assert got == want
+
+    def test_mor_read_pushes_filter_to_base_scan(self, spark, warehouse):
+        """A filter over a MOR table must reach the BASE parquet scan (the
+        big side); the delta layers are bounded by compact_after."""
+        from crawld_spark.sources.tables import Catalog
+
+        cat = Catalog(spark, warehouse)
+        base = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.lit("pending").alias("status")
+        )
+        cat.write("t", base)
+        upd = spark.range(0, 10).select(
+            F.col("id").alias("k"), F.lit("fetched").alias("status")
+        )
+        cat.upsert("t", updates=upd, keys=["k"])
+        df = cat.read("t").where(F.col("status") == "pending")
+        plan = _plan(df)
+        assert "PushedFilters" in plan
+        assert "EqualTo(status,pending)" in plan, plan
+        assert df.count() == 990

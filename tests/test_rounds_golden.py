@@ -479,6 +479,25 @@ class TestRecrawl:
         assert all(v.last_round == max(rd for rd, _ in kinds) or v.status != "fetched"
                    or v.last_round in {rd for rd, _ in kinds} for v in fr.values())
 
+    def test_no_storage_leak_over_rounds(self, spark, warehouse):
+        """Executor storage must not grow per round (r1 leaked one cached
+        DataFrame per round via the admission chain): persistent-RDD count
+        after 20 rounds ≈ after 5."""
+        pages = generate_pages(spark, 400, 8, 42, fanout=3, partitions=4).cache()
+        seeds = generate_seeds(spark, 400, 8, n_seeds=6, seed=42)
+        cfg = mk_cfg(warehouse, recrawl_after_rounds=1, round_duration_s=20.0)
+        engine = CrawlEngine(spark, cfg, pages, generate_robots(spark, 8, 42))
+
+        def n_persist():
+            return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+        engine.run(seeds, max_rounds=5)
+        after5 = n_persist()
+        engine.run(None, max_rounds=15)
+        after20 = n_persist()
+        pages.unpersist()
+        assert after20 <= after5 + 3, (after5, after20)
+
     def test_no_recrawl_by_default_drains(self, spark, warehouse):
         pages = generate_pages(spark, 40, 4, seed=9, fanout=0, partitions=2).cache()
         seeds = generate_seeds(spark, 40, 4, n_seeds=4, seed=9)
