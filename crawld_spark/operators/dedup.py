@@ -122,6 +122,89 @@ def minhash_candidate_groups(buckets: DataFrame, id_col: str = "doc_id") -> Data
     )
 
 
+def connected_components(
+    edges: DataFrame,  # columns: src, dst (long node ids; undirected pairs)
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label propagation over undirected edges → (node, component)
+    where component = the smallest node id reachable. Iterative DataFrame
+    joins with a driver-side convergence test; each iteration is one
+    shuffle, and the label frame is localCheckpoint-ed per iteration (an
+    iterative algorithm's lineage otherwise grows unboundedly — the classic
+    Spark-iteration discipline). Converges in O(component diameter)
+    iterations; dedup clusters from LSH buckets are star-shaped, so 2-3
+    passes in practice.
+    """
+    from crawld_spark.operators.seen import release_df
+
+    sym = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    sym = sym.where(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels, sym["a"] == labels["node"])
+            .select(F.col("b").alias("node"), F.col("label"))
+            .unionByName(labels.select("node", "label"))
+        )
+        new_labels = (
+            prop.groupBy("node").agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        release_df(labels)
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select("node", F.col("label").alias("component"))
+    release_df(sym)
+    return out
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    n_hashes: int = 4,
+    band_size: int = 2,
+    shingle_k: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full near-dup clustering: LSH buckets → star edges (bucket-min →
+    member) → connected components. Docs in no multi-doc bucket are
+    singleton clusters of themselves. Output: (doc_id, cluster_id) with
+    cluster_id = the smallest doc_id in the near-dup cluster — the
+    canonical keeper a training pipeline retains."""
+    buckets = minhash_lsh_buckets(docs, n_hashes, band_size, shingle_k, id_col, text_col)
+    roots = buckets.groupBy("band_id", "band_key").agg(F.min(id_col).alias("_root"))
+    edges = (
+        buckets.join(roots, on=["band_id", "band_key"])
+        .where(F.col(id_col) != F.col("_root"))
+        .select(F.col("_root").alias("src"), F.col(id_col).alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(edges)
+    return (
+        docs.select(id_col)
+        .join(comp, docs[id_col] == comp["node"], how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
 def simhash16(text: Column) -> Column:
     """16-bit SimHash over whitespace tokens, portable construction:
     bit b of md5(token) = high bit of hex digit b+1 (digit ∈ 8..f).

@@ -522,6 +522,38 @@ _SIMHASH_SQL = f"""
 """
 
 
+@q(
+    "dedup_clusters",
+    # near-dup clustering: LSH buckets → star edges (bucket-min → member) →
+    # connected components. The oracle computes components by transitive
+    # closure (recursive CTE); Spark runs iterative min-label propagation —
+    # both yield component = min reachable doc_id.
+    _MINHASH_SQL.replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+    + """
+    , roots AS (
+      SELECT band_id, band_key, min(doc_id) AS root
+      FROM bands GROUP BY band_id, band_key),
+    star AS (
+      SELECT r.root AS src, b.doc_id AS dst
+      FROM bands b JOIN roots r USING (band_id, band_key)
+      WHERE b.doc_id <> r.root),
+    sym AS (
+      SELECT src AS a, dst AS b FROM star
+      UNION SELECT dst AS a, src AS b FROM star
+      UNION SELECT doc_id AS a, doc_id AS b FROM d),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b)
+    SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    return dedup.dedup_clusters(
+        _docs_with_dups(spark, sf_dir), n_hashes=4, band_size=2, shingle_k=2
+    )
+
+
 @q("dedup_simhash", _SIMHASH_SQL)
 def dedup_simhash(spark, sf_dir):
     d = _docs_with_dups(spark, sf_dir)

@@ -72,6 +72,35 @@ class TestIVF:
 
 
 @pytest.mark.usefixtures("spark")
+class TestConnectedComponents:
+    def test_chain_converges(self, spark):
+        """A 12-node chain needs several propagation rounds — exercises the
+        iterate-checkpoint-converge loop, not just one hop."""
+        from crawld_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(11)] + [(100, 101), (103, 102)],
+            "src long, dst long",
+        )
+        got = {r.node: r.component for r in connected_components(edges).collect()}
+        assert all(got[i] == 0 for i in range(12))
+        assert got[100] == got[101] == 100
+        assert got[102] == got[103] == 102
+
+    def test_singletons_self_cluster(self, spark):
+        from crawld_spark.operators.dedup import dedup_clusters
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+             (3, "completely different text here")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.cluster_id for r in dedup_clusters(docs).collect()}
+        assert got[1] == got[2] == 1  # identical docs cluster, keeper = min id
+        assert got[3] == 3  # singleton
+
+
+@pytest.mark.usefixtures("spark")
 class TestFrameSample:
     def test_row_explosion_shape(self, spark):
         df = spark.createDataFrame(
