@@ -489,6 +489,31 @@ def probe_insert_cogroup(candidates: DataFrame, shards: DataFrame) -> DataFrame:
     )
 
 
+def exact_fp_filter(
+    suspects: DataFrame,  # columns incl. url, h
+    suspect_hashes: DataFrame,  # column: h (the cogroup's suspect verdicts)
+    frontier_urls: DataFrame,  # column: url (the exact seen set of record)
+) -> DataFrame:
+    """Tier-3 exactness without a frontier shuffle: suspects that are NOT in
+    the frontier (cuckoo false positives) are admitted.
+
+    Plan shape (asserted by tests/test_plans.py): the frontier is consumed by
+    a single map-side BroadcastHashJoin LeftSemi against the suspect hashes —
+    a scan, never an exchange. Only the hash-matched frontier rows (bounded
+    by the suspect count) reach the url-exact anti-join, so both sides of
+    that join are per-round-sized. Hash collisions are safe: a colliding
+    frontier row only ever ADDS a url to the matched set, and the final
+    comparison is url-exact.
+    """
+    matched = (
+        frontier_urls.select("url")
+        .withColumn("h", F.xxhash64(F.col("url")))
+        .join(F.broadcast(suspect_hashes), on="h", how="left_semi")
+        .select("url")
+    )
+    return suspects.join(matched, on="url", how="left_anti")
+
+
 def admit_new_urls(
     spark: SparkSession,
     candidates: DataFrame,  # columns: url (canonical), priority
@@ -535,10 +560,10 @@ def admit_new_urls(
     without admission (recrawl checks, metrics) or to pre-drop work from
     *approximate* consumers.
 
-    At 10^10-URL scale the frontier side of the tier-3 anti-join is bucketed
-    by the same pmod(xxhash64(url), n_shards) in Iceberg, making it a
-    storage-partitioned join (no frontier shuffle); suspects are a tiny
-    fraction (cuckoo FP ≈ 2·slots/2^16 ≈ 0.012%) so AQE broadcasts them.
+    The tier-3 exact check (``exact_fp_filter``) never shuffles the
+    frontier: the frontier is scanned once map-side against the broadcast
+    suspect-hash set (8 B/row), and only hash-matched rows — bounded by the
+    suspect count, not the frontier size — reach the url-exact anti-join.
     The suspect joins move (url, h, priority) JVM-side over a long key —
     whole-stage-codegen'd, AQE-broadcastable, and hash-joined rather than
     sorted — unlike the Arrow serialization they replace.
@@ -568,8 +593,13 @@ def admit_new_urls(
     susp = out.where(F.col("kind") == "s").select("h")
     new = cand.join(susp, on="h", how="left_anti")
     suspects = cand.join(susp, on="h", how="left_semi")
-    # tier 3: exact — survivors of the anti-join are cuckoo false positives
-    fp_survivors = suspects.join(frontier_urls.select("url"), on="url", how="left_anti")
+    # tier 3: exact — survivors of the anti-join are cuckoo false positives.
+    # The frontier is NEVER shuffled: it is scanned once map-side against the
+    # BROADCAST suspect-hash set (8 B/row — ~240 MB even at 3·10^7 suspect
+    # hashes, vs shuffling a 10^10-row table), and only hash-matched frontier
+    # rows (≈ the true-duplicate count, suspect-sized) continue to the
+    # url-exact anti-join — which is then small×small and AQE-broadcast.
+    fp_survivors = exact_fp_filter(suspects, susp, frontier_urls)
 
     # localCheckpoint (eager), NOT .cache(): the union-of-joins plan defeats
     # Spark's cache-plan matching under AQE, so downstream consumers (rank,

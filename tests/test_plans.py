@@ -89,6 +89,42 @@ class TestPlanShapes:
         want = {r.url: r.seq for r in df.withColumn("seq", F.row_number().over(w)).collect()}
         assert got == want
 
+    def test_tier3_never_shuffles_frontier(self, spark):
+        """The exact false-positive filter must consume the frontier through
+        a map-side BroadcastHashJoin LeftSemi on the hash — the frontier
+        branch must contain NO shuffle exchange. (At 10^10 frontier rows a
+        per-round url-shuffle of the frontier is the admission scale-killer.)
+        """
+        from crawld_spark.operators.seen import exact_fp_filter
+
+        suspects = spark.createDataFrame(
+            [(f"http://h.com/{i}", 1.0) for i in range(20)],
+            "url string, priority double",
+        ).withColumn("h", F.xxhash64(F.col("url")))
+        susp_h = suspects.select("h")
+        frontier = spark.range(0, 5000).select(
+            F.concat(F.lit("http://h.com/"), F.col("id").cast("string")).alias("url")
+        )
+        out = exact_fp_filter(suspects, susp_h, frontier)
+        plan = _plan(out)
+        semi = plan[plan.index("BroadcastHashJoin") :] if "BroadcastHashJoin" in plan else ""
+        assert "BroadcastHashJoin" in plan, plan
+        assert "LeftSemi" in semi, plan
+        # the frontier subtree (below the semi-join) must be exchange-free
+        assert "Exchange hashpartitioning(url" not in semi.split("LeftAnti")[-1], plan
+        # semantics: frontier members are filtered out, true FPs survive
+        fp = spark.createDataFrame(
+            [("http://h.com/99999", 2.0)], "url string, priority double"
+        ).withColumn("h", F.xxhash64(F.col("url")))
+        fp = fp.select("url", "h", "priority")
+        got = {
+            r.url
+            for r in exact_fp_filter(
+                suspects.unionByName(fp), susp_h.unionByName(fp.select("h")), frontier
+            ).collect()
+        }
+        assert got == {"http://h.com/99999"}
+
     def test_mor_read_pushes_filter_to_base_scan(self, spark, warehouse):
         """A filter over a MOR table must reach the BASE parquet scan (the
         big side); the delta layers are bounded by compact_after."""
