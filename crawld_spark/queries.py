@@ -373,6 +373,40 @@ def round_metrics(spark, sf_dir):
 
 
 @q(
+    "events_windowed_agg",
+    # the streaming windowed-metrics operator
+    # (streaming/metrics_stream.windowed_event_metrics) run in batch mode:
+    # tumbling 15-min event-time windows × event_type. DuckDB's time_bucket
+    # aligns to the same epoch-multiple boundaries as Spark's window() under
+    # the UTC session timezone. The streaming variant (watermark, late-row
+    # drop) is asserted separately in tests/test_streaming_metrics.py.
+    """
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '%Y-%m-%dT%H:%M:%S')
+             AS window_start,
+           strftime(time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes',
+                    '%Y-%m-%dT%H:%M:%S') AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def events_windowed_agg(spark, sf_dir):
+    from crawld_spark.streaming.metrics_stream import windowed_event_metrics
+
+    m = windowed_event_metrics(
+        _t(spark, sf_dir, "events"), window_duration="15 minutes"
+    )
+    return m.select(
+        F.date_format("window_start", "yyyy-MM-dd'T'HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd'T'HH:mm:ss").alias("window_end"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+@q(
     "fetch_order",
     # ≙ O1: the canonical fetch order `ORDER BY id` (crawld.go:275) as an
     # explicit rank column
