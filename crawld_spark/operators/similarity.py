@@ -126,3 +126,88 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("qid", "rank", "nid", F.round("cos", 6).alias("cos"))
     )
+
+
+# ---------- signed-random-projection (SRP) LSH for embeddings ----------
+#
+# The banding path for EMBEDDING near-dup at corpus scale: project each
+# vector onto n_bits fixed ±1 hyperplanes, take the sign bits, band the
+# bits, and only vectors sharing a (band, key) bucket become candidate
+# pairs — the cosine analog of the MinHash-LSH pipeline in operators/dedup
+# (P[bit match] = 1 - θ/π for angle θ, so banding concentrates high-cosine
+# pairs). All-pairs never happens; the shuffle key is (band_id, band_key).
+#
+# Hyperplanes are DETERMINISTIC: entry (i, j) = ±1 by the parity of the
+# first hex digit of md5("srp:i:j"). Integer dot products over quantized
+# vectors make the bits bit-identical across engines, so the DuckDB oracle
+# reproduces the exact same buckets (queries.py srp_neardup).
+
+
+def srp_sign_matrix(dim: int, n_bits: int) -> list[list[int]]:
+    """n_bits rows × dim cols of ±1, derived from md5 — no RNG state."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"srp:{i}:{j}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(n_bits)
+    ]
+
+
+def srp_lsh_buckets(
+    corpus: DataFrame,  # id_col, vec_col (array<float>, fixed dim)
+    dim: int,
+    n_bits: int = 16,
+    band_size: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (id_col, band_id, band_key): one row per vector per band. JVM-only
+    (zip_with/aggregate over literal sign arrays — no Python, no shuffle
+    until the consumer groups by bucket)."""
+    assert n_bits % band_size == 0
+    signs = srp_sign_matrix(dim, n_bits)
+    qv = quantize(F.col(vec_col))
+    bits = [
+        F.when(
+            dot_i(qv, F.array(*[F.lit(s) for s in signs[j]])) >= 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        for j in range(n_bits)
+    ]
+    n_bands = n_bits // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                sum(
+                    (bits[b * band_size + r] * F.lit(1 << r))
+                    for r in range(band_size)
+                ).cast("int").alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return corpus.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+        id_col, F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def srp_candidate_pairs(buckets: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Distinct candidate pairs (v1 < v2) sharing any band bucket. The join
+    shuffles on (band_id, band_key); bucket sizes bound the quadratic step
+    exactly as in the MinHash banding path."""
+    a = buckets.select(
+        F.col(id_col).alias("v1"), "band_id", "band_key"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("v2"), "band_id", "band_key"
+    )
+    return (
+        a.join(b, on=["band_id", "band_key"])
+        .where(F.col("v2") > F.col("v1"))
+        .select("v1", "v2")
+        .distinct()
+    )

@@ -651,6 +651,68 @@ def embedding_neardup(spark, sf_dir):
     )
 
 
+# SRP-LSH: the deterministic ±1 hyperplane matrix, shared verbatim with the
+# DuckDB oracle (single source of truth: similarity.srp_sign_matrix)
+_SRP_DIM, _SRP_BITS, _SRP_BAND = 64, 16, 4
+_SRP_SIGNS = similarity.srp_sign_matrix(_SRP_DIM, _SRP_BITS)
+_SRP_VALUES = ",\n           ".join(
+    f"({j}, {_SRP_SIGNS[j]})" for j in range(_SRP_BITS)
+)
+
+_SRP_SQL = f"""
+    WITH signs(j, sgn) AS (VALUES
+           {_SRP_VALUES}),
+    v AS (SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings),
+    bits AS (SELECT v.vec_id, s.j,
+                    CASE WHEN list_sum(list_transform(range(1, {_SRP_DIM + 1}),
+                                                      i -> qv[i] * sgn[i])) >= 0
+                         THEN 1 ELSE 0 END AS bit
+             FROM v CROSS JOIN signs s),
+    bands AS (SELECT vec_id, j // {_SRP_BAND} AS band_id,
+                     CAST(sum(bit << (j % {_SRP_BAND})) AS INT) AS band_key
+              FROM bits GROUP BY vec_id, j // {_SRP_BAND}),
+    pairs AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+                   AND b.vec_id > a.vec_id),
+    flat AS (SELECT v1, v2, unnest(va.qv) AS x, unnest(vb.qv) AS y
+             FROM pairs JOIN v va ON va.vec_id = v1 JOIN v vb ON vb.vec_id = v2),
+    dots AS (SELECT v1, v2, CAST(sum(x * y) AS BIGINT) AS dot,
+                    CAST(sum(x * x) AS BIGINT) AS n1, CAST(sum(y * y) AS BIGINT) AS n2
+             FROM flat GROUP BY v1, v2)
+    SELECT v1, v2, round(dot / (sqrt(n1) * sqrt(n2)), 6) AS cos
+    FROM dots
+    ORDER BY dot / (sqrt(n1) * sqrt(n2)) DESC, v1, v2 LIMIT 20
+"""
+
+
+@q("srp_neardup", _SRP_SQL)
+def srp_neardup(spark, sf_dir):
+    """Embedding near-dup via signed-random-projection LSH banding: bucket
+    join → candidate pairs → exact integer cosine → global top-20. The
+    banding path replaces the all-pairs scan at corpus scale (the MinHash
+    analog for cosine space)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    buckets = similarity.srp_lsh_buckets(
+        emb, dim=_SRP_DIM, n_bits=_SRP_BITS, band_size=_SRP_BAND
+    )
+    pairs = similarity.srp_candidate_pairs(buckets)
+    a = emb.select(F.col("vec_id").alias("v1"), similarity.quantize("embedding").alias("qv1"))
+    b = emb.select(F.col("vec_id").alias("v2"), similarity.quantize("embedding").alias("qv2"))
+    cos = similarity.dot_i(F.col("qv1"), F.col("qv2")) / (
+        F.sqrt(similarity.norm2_i(F.col("qv1")).cast("double"))
+        * F.sqrt(similarity.norm2_i(F.col("qv2")).cast("double"))
+    )
+    return (
+        pairs.join(a, on="v1")
+        .join(b, on="v2")
+        .withColumn("_cos", cos)
+        .orderBy(F.desc("_cos"), F.asc("v1"), F.asc("v2"))
+        .limit(20)
+        .select("v1", "v2", F.round("_cos", 6).alias("cos"))
+    )
+
+
 _ANN_SQL = f"""
     WITH q AS (SELECT vec_id AS qid, {_QUANT_SQL} AS qv FROM embeddings WHERE vec_id < 3),
     c AS (SELECT vec_id AS nid, {_QUANT_SQL} AS nv FROM embeddings WHERE vec_id >= 3),

@@ -101,6 +101,38 @@ class TestConnectedComponents:
 
 
 @pytest.mark.usefixtures("spark")
+class TestSRP:
+    def test_sign_matrix_deterministic(self):
+        from crawld_spark.operators.similarity import srp_sign_matrix
+
+        m1 = srp_sign_matrix(8, 4)
+        m2 = srp_sign_matrix(8, 4)
+        assert m1 == m2
+        assert all(v in (-1, 1) for row in m1 for v in row)
+        # not degenerate: both signs appear
+        flat = [v for row in m1 for v in row]
+        assert -1 in flat and 1 in flat
+
+    def test_identical_vectors_collide_in_all_bands(self, spark):
+        from crawld_spark.operators.similarity import (
+            srp_candidate_pairs,
+            srp_lsh_buckets,
+        )
+
+        base = [0.1 * ((i % 7) - 3) for i in range(16)]
+        other = [0.25 * ((i % 5) - 2) for i in range(16)]
+        corpus = spark.createDataFrame(
+            [(1, base), (2, list(base)), (3, other)],
+            "vec_id long, embedding array<float>",
+        )
+        buckets = srp_lsh_buckets(corpus, dim=16, n_bits=8, band_size=2)
+        bk = {(r.vec_id, r.band_id): r.band_key for r in buckets.collect()}
+        assert all(bk[(1, b)] == bk[(2, b)] for b in range(4))
+        pairs = {(r.v1, r.v2) for r in srp_candidate_pairs(buckets).collect()}
+        assert (1, 2) in pairs
+
+
+@pytest.mark.usefixtures("spark")
 class TestFrameSample:
     def test_row_explosion_shape(self, spark):
         df = spark.createDataFrame(
