@@ -107,6 +107,40 @@ T_FRONTIER, T_SEEN, T_HOST, T_FETCHED, T_ROUNDS, T_ROBOTS = (
 )
 
 
+def lookup_left_join(
+    small: DataFrame, big: DataFrame, on: str = "url", keys: DataFrame | None = None
+) -> DataFrame:
+    """``small LEFT JOIN big ON on`` without ever shuffling ``big``.
+
+    A preserved-side left join can only build (broadcast) its RIGHT side, so
+    ``fetch_list.join(pages, 'url', 'left')`` forces a full shuffle of the
+    pages/frontier table every round — the per-round scale-killer at a
+    10^10-row web table. Instead, ``big`` is first semi-filtered map-side
+    against the BROADCAST key set of ``small`` (one scan, no exchange on
+    ``big`` — the same shape as seen.exact_fp_filter), shrinking it to
+    ≤ |small| matching rows; the left join then runs small×small and the
+    filtered side broadcasts. Equivalent to the plain left join whenever
+    ``big`` is consumed as a lookup table (row multiplicity of ``big`` is
+    preserved by the semi-filter). The final join is left to AQE — both
+    sides are round-sized, and payload columns (html binary) can make the
+    filtered side too wide for a forced broadcast. Plan shape asserted by
+    test_plans.py.
+
+    ``keys`` (url-column DataFrame) lets call sites share ONE broadcast key
+    set across several lookup joins in the same plan — identical broadcast
+    subplans are deduplicated by Spark's ReuseExchange, so the per-round
+    fixed cost is one broadcast build, not one per join. It may be a
+    superset of ``small``'s keys (extra keys only let a few extra ``big``
+    rows through the pre-filter; the left join discards them). No distinct
+    is applied: a hashed broadcast relation handles duplicate keys, and the
+    engine's key sets are unique by construction.
+    """
+    if keys is None:
+        keys = small.select(on)
+    filtered = big.join(F.broadcast(keys), on=on, how="left_semi")
+    return small.join(filtered, on=on, how="left")
+
+
 class CrawlEngine:
     def __init__(self, spark: SparkSession, cfg: CrawlConfig, pages: DataFrame,
                  robots: DataFrame | None = None):
@@ -289,9 +323,13 @@ class CrawlEngine:
             .otherwise(F.lit(None).cast("string"))
         )
 
+        sched_keys = scheduled.select("url")
         got = (
-            fetch_list.join(fr_attrs, on="url", how="left")
-            .join(self.pages, on="url", how="left")
+            lookup_left_join(
+                lookup_left_join(fetch_list, fr_attrs, keys=sched_keys),
+                self.pages,
+                keys=sched_keys,
+            )
             .withColumn(
                 # clone-vs-update branch (≙ isDirEmpty decision tree,
                 # crawld.go:185-217,256-263 — F8): first contact is a clone,
@@ -441,7 +479,7 @@ class CrawlEngine:
                 .alias("new_status"),
             )
             .unionByName(
-                denied.join(fr_attrs, on="url", how="left").select(
+                lookup_left_join(denied, fr_attrs, keys=sched_keys).select(
                     "url", "host", "priority", "discovery_seq",
                     "round_added", "attempts", "last_round",
                     F.lit("denied").alias("new_status"),

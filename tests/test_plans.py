@@ -125,6 +125,31 @@ class TestPlanShapes:
         }
         assert got == {"http://h.com/99999"}
 
+    def test_lookup_join_never_shuffles_big_side(self, spark):
+        """The fetch join must consume the pages/frontier table through the
+        broadcast semi-filter — the big side's subtree (below the LeftSemi)
+        must contain no shuffle exchange."""
+        from crawld_spark.plans.rounds import lookup_left_join
+
+        small = spark.createDataFrame(
+            [(f"u{i}", i) for i in range(10)] + [("missing", -1)],
+            "url string, a int",
+        )
+        big = spark.range(0, 10000).select(
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+            F.col("id").alias("b"),
+        )
+        out = lookup_left_join(small, big)
+        plan = _plan(out)
+        # the big-side subtree prints between the LeftSemi join and its
+        # keys-side BroadcastExchange; only the round-sized key distinct may
+        # shuffle (it prints after, under the BroadcastExchange)
+        i = plan.rindex("LeftSemi")
+        j = plan.index("BroadcastExchange", i)
+        assert "Exchange" not in plan[i:j], plan
+        got = {(r.url, r.b) for r in out.collect()}
+        assert got == {(f"u{i}", i) for i in range(10)} | {("missing", None)}
+
     def test_mor_read_pushes_filter_to_base_scan(self, spark, warehouse):
         """A filter over a MOR table must reach the BASE parquet scan (the
         big side); the delta layers are bounded by compact_after."""
