@@ -259,10 +259,146 @@ def frontier_growth(write: bool) -> dict:
     return res
 
 
+def _pending_inner(n_total: int, n_pending: int = 20_000, cpus: int = 16) -> dict:
+    """Round wall vs TOTAL frontier size with a FIXED pending set: most of
+    the frontier is already fetched (the mature-crawl steady state). With
+    status-partitioned base files (Catalog partition pruning) the work-list
+    scan reads only the pending partition, so the per-round wall should be
+    ~flat in total frontier size; the residual O(total) term is the single
+    url-column scan the seen-set's exact FP filter performs."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from crawld_spark.config import CrawlConfig
+    from crawld_spark.plans.rounds import T_FRONTIER, CrawlEngine
+    from crawld_spark.session import get_spark
+
+    spark = get_spark(
+        f"pend{n_total}", master=f"local[{cpus}]", shuffle_partitions=cpus,
+        extra_conf={"spark.driver.memory": "24g"},
+    )
+    wh = tempfile.mkdtemp(prefix=f"pend_{n_total}_")
+    try:
+        base = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        pages = (
+            spark.range(0, n_total, numPartitions=cpus)
+            .select(
+                F.concat(
+                    F.lit("http://gh"),
+                    F.pmod(F.xxhash64("id"), F.lit(256)).cast("string"),
+                    F.lit(".example.com/p/"), F.col("id").cast("string"),
+                ).alias("url"),
+                base.alias("warc_ts"),
+                F.encode(F.concat(F.lit("<html><body><p>t"),
+                                  F.col("id").cast("string"),
+                                  F.lit("</p></body></html>")), "utf-8").alias("html"),
+                F.concat(F.lit("t"), F.col("id").cast("string")).alias("text"),
+                F.lit("en").alias("lang"),
+            )
+            .cache()
+        )
+        pages.count()
+        seeds = pages.select(
+            "url", F.pmod(F.xxhash64("url"), F.lit(1000)).cast("double").alias("priority")
+        )
+        cfg = CrawlConfig(
+            warehouse=wh, round_duration_s=1e9, default_crawl_delay_s=0.0,
+            max_urls_per_host_per_round=1 << 20, max_urls_per_round=2000,
+            n_seen_shards=32, bloom_bits=1 << 22, shuffle_partitions=cpus,
+            salt_buckets=8,
+        )
+        eng = CrawlEngine(spark, cfg, pages)
+        eng.bootstrap(seeds)
+        # steady-state fabrication: flip all but n_pending rows to fetched
+        # (one O(total) setup write), then force a compaction so the base
+        # re-partitions into status-tagged dirs — the layout a mature crawl
+        # reaches through normal compaction cycles
+        cat = eng.cat
+        fr = cat.read(T_FRONTIER)
+        flipped = (
+            fr.where(F.col("discovery_seq") > n_pending)
+            .withColumn("status", F.lit("fetched"))
+            .withColumn("last_round", F.lit(0).cast("int"))
+        )
+        cat.upsert(T_FRONTIER, updates=flipped, keys=["url"])
+        keep = cat.compact_after
+        cat.compact_after = 0
+        one = cat.read(T_FRONTIER).limit(1)
+        cat.upsert(T_FRONTIER, updates=one, keys=["url"])  # trips compaction
+        cat.compact_after = keep
+        walls = []
+        for r in range(1, 6):
+            t0 = _time.perf_counter()
+            eng.run_round(r)
+            walls.append(round(_time.perf_counter() - t0, 3))
+        walls_sorted = sorted(walls)
+        return {
+            "frontier_rows": n_total,
+            "pending_rows": n_pending,
+            "round_walls": walls,
+            "median_round_wall": walls_sorted[len(walls) // 2],
+            "best_round_wall": walls_sorted[0],
+        }
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+        spark.stop()
+
+
+def pending_flatness(write: bool) -> dict:
+    sizes = [50_000, 500_000]
+    out = []
+    for n in sizes:
+        proc = subprocess.run(
+            _pin(16) + [sys.executable, os.path.abspath(__file__), "--pending-inner",
+                        str(n)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        out.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+    ratio = round(out[1]["median_round_wall"] / out[0]["median_round_wall"], 3)
+    res = {"metric": "round wall vs TOTAL frontier size (fixed 20k pending, 2k budget)",
+           "levels": out, "wall_ratio_10x_total": ratio}
+    if write:
+        path = os.path.join(REPO, "BENCH", "BASELINE.md")
+        with open(path, "a") as f:
+            f.write(
+                "\n## Round-time flatness vs TOTAL frontier size "
+                "(partition-pruned work-list scan)\n\n"
+                "Mature-crawl steady state: 20,000 pending rows fixed, total "
+                "frontier 10× apart (the rest already fetched), fixed "
+                "2,000-URL budget, 5 rounds, local[16] pinned. The Catalog "
+                "partitions frontier base files by status, so the per-round "
+                "work-list scan reads only the pending partition; the "
+                "residual O(total) term is the single url-column scan of the "
+                "seen-set's exact FP filter.\n\n"
+                "| total frontier rows | pending | round walls (s) | median |\n"
+                "|---|---|---|---|\n"
+                + "".join(
+                    f"| {lv['frontier_rows']:,} | {lv['pending_rows']:,} | "
+                    + ", ".join(str(w) for w in lv["round_walls"])
+                    + f" | {lv['median_round_wall']} |\n"
+                    for lv in out
+                )
+                + f"\n**10× total frontier → {ratio}× median round wall** "
+                "(an unpartitioned layout re-reads the whole frontier per "
+                "round).\n"
+            )
+    return res
+
+
 def main() -> None:
     if "--growth-inner" in sys.argv:
         n = int(sys.argv[sys.argv.index("--growth-inner") + 1])
         print(json.dumps(_frontier_growth_inner(n)))
+        return
+    if "--pending-inner" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--pending-inner") + 1])
+        print(json.dumps(_pending_inner(n)))
+        return
+    if "--pending-flatness" in sys.argv:
+        print(json.dumps(pending_flatness("--write" in sys.argv)))
         return
     if "--frontier-growth" in sys.argv:
         print(json.dumps(frontier_growth("--write" in sys.argv)))

@@ -198,7 +198,10 @@ class CrawlEngine:
             .select([f.name for f in FRONTIER_SCHEMA.fields])
         )
         versions = {
-            T_FRONTIER: cat.write(T_FRONTIER, frontier, advance_pointer=False),
+            T_FRONTIER: cat.write(
+                T_FRONTIER, frontier, advance_pointer=False,
+                partition=("status", "pending"),
+            ),
             T_SEEN: cat.write(T_SEEN, new_shards, advance_pointer=False),
             T_HOST: cat.write(
                 T_HOST,
@@ -233,12 +236,16 @@ class CrawlEngine:
             tm[name] = round(now - t0, 3)
             t0 = now
 
-        frontier = cat.read(T_FRONTIER).cache()
+        # full frontier: consumed ONLY as the url seen-set of record (one
+        # column-pruned, shuffle-free scan per round in exact_fp_filter) and
+        # for the one-time max_seq read — never cached, never shuffled
+        frontier_all = cat.read(T_FRONTIER)
         host_state = cat.read(T_HOST, politeness.HOST_STATE_SCHEMA)
         robots = cat.read(T_ROBOTS)
         shards = cat.read(T_SEEN)
 
         eligible = F.col("status") == "pending"
+        statuses = ["pending"]
         if cfg.recrawl_after_rounds > 0:
             # recrawl: previously-fetched URLs become eligible again after k
             # rounds (k=1 ≙ the reference's full re-fetch pass every round,
@@ -247,6 +254,11 @@ class CrawlEngine:
                 (F.col("status") == "fetched")
                 & (F.col("last_round") <= F.lit(round_id - cfg.recrawl_after_rounds))
             )
+            statuses.append("fetched")
+        # partition-pruned eligibility read: base files tagged with other
+        # statuses are skipped entirely (Iceberg partition pruning — the
+        # frontier work-list scan is O(eligible partitions), not O(frontier))
+        frontier = cat.read(T_FRONTIER, prune=("status", statuses)).cache()
         pending = frontier.where(eligible)
         if round_id == 1 and cfg.since_seq > 0:
             # resume predicate: first round only (≙ crawld.go:116,266 — F1)
@@ -426,14 +438,14 @@ class CrawlEngine:
             .agg(F.max("priority").alias("priority"))
         )
         admitted, dirty_shards, seen_caches = seen.admit_new_urls(
-            spark, cand, shards, frontier.select("url"),
+            spark, cand, shards, frontier_all.select("url"),
             cfg.n_seen_shards, round_id=round_id,
         )
         # max discovery_seq: one query on first use, then carried in-memory
         # across this engine's rounds (seq assignment is deterministic:
         # next max = max + admitted); a fresh engine (resume) re-reads
         if self._max_seq is None:
-            self._max_seq = frontier.agg(F.max("discovery_seq")).collect()[0][0] or 0
+            self._max_seq = frontier_all.agg(F.max("discovery_seq")).collect()[0][0] or 0
         max_seq = self._max_seq
         admitted_cnt = admitted.count()  # cheap: counts checkpointed blocks
         mark("admit")
@@ -582,6 +594,7 @@ class CrawlEngine:
             inserts=new_frontier_rows.coalesce(small) if admitted_cnt > 0 else None,
             keys=["url"],
             advance_pointer=False,
+            inserts_value="pending",  # new frontier rows are always pending
         )
         mark("write_frontier")
         versions[T_SEEN] = cat.upsert(
@@ -618,12 +631,15 @@ class CrawlEngine:
         """Any frontier row fetchable in round `round_id`? (pending, or —
         with recrawl on — fetched long enough ago)."""
         cond = F.col("status") == "pending"
+        statuses = ["pending"]
         if self.cfg.recrawl_after_rounds > 0:
             cond = cond | (
                 (F.col("status") == "fetched")
                 & (F.col("last_round") <= F.lit(round_id - self.cfg.recrawl_after_rounds))
             )
-        return self.cat.read(T_FRONTIER).where(cond).limit(1).count() > 0
+            statuses.append("fetched")
+        probe = self.cat.read(T_FRONTIER, prune=("status", statuses))
+        return probe.where(cond).limit(1).count() > 0
 
     def next_recrawl_round(self) -> int | None:
         """First future round in which some fetched URL becomes recrawl-due,
@@ -631,7 +647,7 @@ class CrawlEngine:
         if self.cfg.recrawl_after_rounds <= 0:
             return None
         row = (
-            self.cat.read(T_FRONTIER)
+            self.cat.read(T_FRONTIER, prune=("status", ["fetched"]))
             .where(F.col("status") == "fetched")
             .agg(F.min("last_round").alias("m"))
             .collect()[0]

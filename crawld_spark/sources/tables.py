@@ -83,15 +83,41 @@ class Catalog:
             m = json.load(f)
         m.setdefault("delta_dirs", [])
         m.setdefault("keys", None)
+        m.setdefault("partition_col", None)
         return m
+
+    # ---------- partition spec (Iceberg partition-pruning stand-in) ----------
+    # A base data-dir entry is either a plain dir name (unpartitioned /
+    # unknown values — always read) or a [dir, value] pair declaring that
+    # EVERY row in the dir has partition_col == value (write-side invariant,
+    # like an Iceberg partition spec + manifest value range). A pruned read
+    # skips pairs whose value is not requested; delta dirs are always read
+    # (per-round sized) and the final filter re-applies the predicate, so
+    # pruning is purely an I/O optimization, never a correctness dependency.
+
+    @staticmethod
+    def _entry_dir(entry) -> str:
+        return entry if isinstance(entry, str) else entry[0]
+
+    @staticmethod
+    def _select_dirs(entries: list, values: list | None) -> list[str]:
+        """Base dirs to read for partition values `values` (None = all)."""
+        if values is None:
+            return [Catalog._entry_dir(e) for e in entries]
+        return [
+            Catalog._entry_dir(e)
+            for e in entries
+            if isinstance(e, str) or e[1] in values
+        ]
 
     def _write_manifest(
         self,
         name: str,
         version: int,
-        data_dirs: list[str],
+        data_dirs: list,
         delta_dirs: list[str] | None = None,
         keys: list[str] | None = None,
+        partition_col: str | None = None,
     ) -> None:
         p = self._manifest_path(name, version)
         tmp = p + ".tmp"
@@ -102,6 +128,7 @@ class Catalog:
                     "data_dirs": data_dirs,
                     "delta_dirs": delta_dirs or [],
                     "keys": keys,
+                    "partition_col": partition_col,
                 },
                 f,
             )
@@ -131,17 +158,44 @@ class Catalog:
         return self.current_version(name) > 0
 
     # ---------- read / write ----------
-    def read(self, name: str, schema: StructType | None = None) -> DataFrame:
+    def read(
+        self,
+        name: str,
+        schema: StructType | None = None,
+        prune: tuple[str, list] | None = None,
+    ) -> DataFrame:
+        """Current snapshot. ``prune=(col, values)`` returns only rows with
+        ``col IN values``, skipping base data dirs whose manifest entry
+        declares a different partition value (Iceberg partition pruning);
+        the predicate is still applied, so untagged dirs and delta layers
+        stay correct."""
         v = self.current_version(name)
         if v == 0:
             if schema is None:
                 raise FileNotFoundError(f"table {name} does not exist and no schema given")
-            return self.spark.createDataFrame([], schema)
-        return self.read_version(name, v)
+            df = self.spark.createDataFrame([], schema)
+            if prune is not None:
+                df = df.where(F.col(prune[0]).isin(prune[1]))
+            return df
+        return self.read_version(name, v, prune=prune)
 
-    def read_version(self, name: str, version: int) -> DataFrame:
+    def read_version(
+        self, name: str, version: int, prune: tuple[str, list] | None = None
+    ) -> DataFrame:
         m = self._read_manifest(name, version)
-        return self._mor_df(name, m["data_dirs"], m["delta_dirs"], m["keys"])
+        entries = m["data_dirs"]
+        if prune is not None and m["partition_col"] == prune[0]:
+            dirs = self._select_dirs(entries, list(prune[1]))
+            if not dirs and not m["delta_dirs"]:
+                # every base dir pruned away and no deltas: read one dir for
+                # the schema (the filter below yields the empty result)
+                dirs = self._select_dirs(entries, None)[:1]
+        else:
+            dirs = self._select_dirs(entries, None)
+        df = self._mor_df(name, dirs, m["delta_dirs"], m["keys"])
+        if prune is not None:
+            df = df.where(F.col(prune[0]).isin(prune[1]))
+        return df
 
     def _mor_df(
         self, name: str, data_dirs: list[str], delta_dirs: list[str], keys: list[str] | None
@@ -180,16 +234,31 @@ class Catalog:
         survivors = base.join(latest.select(*keys).distinct(), on=list(keys), how="left_anti")
         return survivors.unionByName(latest)
 
-    def write(self, name: str, df: DataFrame, advance_pointer: bool = True) -> int:
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        advance_pointer: bool = True,
+        partition: tuple[str, str] | None = None,
+    ) -> int:
         """Write a new immutable snapshot; optionally advance the pointer.
 
         With ``advance_pointer=False`` the snapshot is staged but invisible —
         a later ``commit_round`` (or explicit ``_set_version``) publishes it.
+        ``partition=(col, value)`` declares every row has col == value and
+        registers the table's partition spec (pruned reads skip this dir
+        when the value is not requested).
         """
         v = self._next_free_version(name)
         ddir = self._ddir(name, v)
         df.write.mode("overwrite").parquet(ddir)
-        self._write_manifest(name, v, [os.path.basename(ddir)])
+        base = os.path.basename(ddir)
+        if partition is not None:
+            self._write_manifest(
+                name, v, [[base, partition[1]]], partition_col=partition[0]
+            )
+        else:
+            self._write_manifest(name, v, [base])
         if advance_pointer:
             self._set_version(name, v)
         return v
@@ -217,7 +286,8 @@ class Catalog:
         ddir = self._ddir(name, v)
         df.write.mode("overwrite").parquet(ddir)
         self._write_manifest(
-            name, v, m["data_dirs"] + [os.path.basename(ddir)], m["delta_dirs"], m["keys"]
+            name, v, m["data_dirs"] + [os.path.basename(ddir)], m["delta_dirs"],
+            m["keys"], m.get("partition_col"),
         )
         if advance_pointer:
             self._set_version(name, v)
@@ -230,9 +300,17 @@ class Catalog:
         inserts: DataFrame | None = None,
         keys: Iterable[str] = ("url",),
         advance_pointer: bool = True,
+        inserts_value=None,
     ) -> int:
         """Iceberg MERGE INTO with merge-on-read write amplification:
         O(changed rows) per call, never O(table).
+
+        ``inserts_value``: when the table has a partition spec (see
+        ``write(partition=...)``), declares that every insert row carries
+        that partition value — the insert dir is manifest-tagged so pruned
+        reads can skip it. Updates always land in the (untagged, per-round
+        sized) delta layer; partition correctness is re-established at
+        compaction.
 
         - ``inserts``: rows whose keys are known-absent from the table
           (e.g. seen-set-admitted URLs) — appended as base data files, no
@@ -251,25 +329,48 @@ class Catalog:
         m = (
             self._read_manifest(name, cur_v)
             if cur_v > 0
-            else {"data_dirs": [], "delta_dirs": [], "keys": keys}
+            else {"data_dirs": [], "delta_dirs": [], "keys": keys, "partition_col": None}
         )
         if m["keys"] not in (None, keys) and m["delta_dirs"]:
             raise ValueError(f"table {name}: merge keys changed {m['keys']} -> {keys}")
+        part_col = m.get("partition_col")
         data_dirs, delta_dirs = list(m["data_dirs"]), list(m["delta_dirs"])
         v = self._next_free_version(name)
         ddir = self._ddir(name, v)
         if inserts is not None:
             inserts.write.mode("overwrite").parquet(os.path.join(ddir, "ins"))
-            data_dirs.append(f"{os.path.basename(ddir)}/ins")
+            entry = f"{os.path.basename(ddir)}/ins"
+            if part_col is not None and inserts_value is not None:
+                data_dirs.append([entry, inserts_value])
+            else:
+                data_dirs.append(entry)
         if updates is not None:
             updates.write.mode("overwrite").parquet(os.path.join(ddir, "upd"))
             delta_dirs.append(f"{os.path.basename(ddir)}/upd")
         if len(delta_dirs) > self.compact_after:
-            merged = self._mor_df(name, data_dirs, delta_dirs, keys)
-            merged.write.mode("overwrite").parquet(os.path.join(ddir, "compact"))
-            data_dirs = [f"{os.path.basename(ddir)}/compact"]
+            merged = self._mor_df(
+                name, self._select_dirs(data_dirs, None), delta_dirs, keys
+            )
+            if part_col is not None:
+                # compaction re-establishes the partition layout: one data
+                # dir per partition value (Iceberg's maintenance rewrite
+                # honoring the table's partition spec), so pruned reads stay
+                # O(requested partitions) across the table's whole life
+                merged = merged.cache()
+                vals = [r[0] for r in merged.select(part_col).distinct().collect()]
+                data_dirs = []
+                for val in vals:
+                    sub = os.path.join(ddir, f"compact_{val}")
+                    merged.where(F.col(part_col) == val).write.mode(
+                        "overwrite"
+                    ).parquet(sub)
+                    data_dirs.append([f"{os.path.basename(ddir)}/compact_{val}", val])
+                merged.unpersist()
+            else:
+                merged.write.mode("overwrite").parquet(os.path.join(ddir, "compact"))
+                data_dirs = [f"{os.path.basename(ddir)}/compact"]
             delta_dirs = []
-        self._write_manifest(name, v, data_dirs, delta_dirs, keys)
+        self._write_manifest(name, v, data_dirs, delta_dirs, keys, part_col)
         if advance_pointer:
             self._set_version(name, v)
         return v

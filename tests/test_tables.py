@@ -108,3 +108,85 @@ class TestUpsert:
         assert m["keys"] == ["k"]
         assert len(m["data_dirs"]) == 1 and len(m["delta_dirs"]) == 1
         assert rows(cat.read("t")) == [(1, "A")]
+
+
+def mks(spark, data):
+    return spark.createDataFrame(data, "k int, v string, status string")
+
+
+def rows3(df):
+    return sorted((r.k, r.v, r.status) for r in df.collect())
+
+
+@pytest.mark.usefixtures("spark")
+class TestPartitionPruning:
+    """Iceberg partition-spec stand-in: manifest-tagged base dirs + pruned
+    reads. Pruning must be pure I/O — results identical to full-read+filter
+    across inserts, cross-partition status transitions, and compaction."""
+
+    def _seed(self, spark, warehouse):
+        cat = Catalog(spark, warehouse)
+        cat.write("t", mks(spark, [(1, "a", "pending"), (2, "b", "pending")]),
+                  partition=("status", "pending"))
+        return cat
+
+    def test_pruned_read_skips_foreign_dirs(self, spark, warehouse):
+        cat = self._seed(spark, warehouse)
+        # a second tagged dir with a different value via upsert inserts
+        cat.upsert("t", inserts=mks(spark, [(3, "c", "pending")]), keys=["k"],
+                   inserts_value="pending")
+        m = cat._read_manifest("t", cat.current_version("t"))
+        assert all(isinstance(e, list) for e in m["data_dirs"])
+        assert m["partition_col"] == "status"
+        # selection helper: only matching dirs
+        assert Catalog._select_dirs(m["data_dirs"], ["nope"]) == []
+        assert len(Catalog._select_dirs(m["data_dirs"], ["pending"])) == 2
+        assert rows3(cat.read("t", prune=("status", ["pending"]))) == [
+            (1, "a", "pending"), (2, "b", "pending"), (3, "c", "pending")
+        ]
+
+    def test_status_transition_respects_pruning(self, spark, warehouse):
+        """A base row moved out of 'pending' by a delta must vanish from the
+        pruned pending read (anti-join side), and a row moved INTO an
+        eligible status via delta must appear even though its base dir is
+        pruned away (delta layers are always read)."""
+        cat = self._seed(spark, warehouse)
+        cat.upsert("t", updates=mks(spark, [(1, "a", "fetched")]), keys=["k"])
+        got = rows3(cat.read("t", prune=("status", ["pending"])))
+        assert got == [(2, "b", "pending")]
+        # full read still sees everything
+        assert rows3(cat.read("t")) == [(1, "a", "fetched"), (2, "b", "pending")]
+        # transition back in via another delta
+        cat.upsert("t", updates=mks(spark, [(1, "a2", "pending")]), keys=["k"])
+        assert rows3(cat.read("t", prune=("status", ["pending"]))) == [
+            (1, "a2", "pending"), (2, "b", "pending")
+        ]
+
+    def test_compaction_reestablishes_partition_layout(self, spark, warehouse):
+        cat = self._seed(spark, warehouse)
+        cat.compact_after = 2
+        cat.upsert("t", updates=mks(spark, [(1, "a", "fetched")]), keys=["k"])
+        cat.upsert("t", updates=mks(spark, [(2, "b", "denied")]), keys=["k"])
+        cat.upsert("t", inserts=mks(spark, [(4, "d", "pending")]), keys=["k"],
+                   inserts_value="pending")  # trips compaction (3 > 2? no: deltas=2)
+        cat.upsert("t", updates=mks(spark, [(4, "d2", "pending")]), keys=["k"])
+        m = cat._read_manifest("t", cat.current_version("t"))
+        if m["delta_dirs"]:
+            # force one more delta so compaction definitely triggered
+            cat.upsert("t", updates=mks(spark, [(4, "d3", "pending")]), keys=["k"])
+            m = cat._read_manifest("t", cat.current_version("t"))
+        assert m["delta_dirs"] == []
+        # post-compaction: every dir tagged, one per live status value
+        vals = sorted(e[1] for e in m["data_dirs"])
+        assert vals == ["denied", "fetched", "pending"]
+        pend = rows3(cat.read("t", prune=("status", ["pending"])))
+        assert all(s == "pending" for _, _, s in pend)
+        assert rows3(cat.read("t")) == sorted(
+            rows3(cat.read("t", prune=("status", ["pending", "fetched", "denied"])))
+        )
+
+    def test_untagged_table_ignores_prune_dirs_but_filters(self, spark, warehouse):
+        cat = Catalog(spark, warehouse)
+        cat.write("t", mks(spark, [(1, "a", "pending"), (2, "b", "done")]))
+        got = rows3(cat.read("t", prune=("status", ["pending"])))
+        assert got == [(1, "a", "pending")]
