@@ -98,3 +98,94 @@ def frame_sample_stub(
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame_bytes": frames})
 
     return df.mapInPandas(run, out_schema)
+
+
+def resize_stub(
+    df: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Image resize plumbing: binary payload → binary payload of the target
+    geometry, 1:1 rows, executor-side only. The resample itself is stubbed
+    (deterministic byte re-sampling at the target size — replace with
+    ``PIL.Image.open(...).resize((w, h)).tobytes()``); the Spark shape is
+    real: payload bytes cross the JVM↔Python boundary once per Arrow batch
+    and the output is again an opaque binary column a downstream writer can
+    sink without driver involvement."""
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+            StructField("payload", df.schema[payload_col].dataType, True),
+        ]
+    )
+    target = max(1, width * height // 64)  # stub geometry: bytes per plane
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            outs = []
+            for payload in b[payload_col]:
+                raw = bytes(payload)
+                if not raw:
+                    outs.append(b"")
+                    continue
+                # deterministic nearest-neighbor byte resample to `target`
+                step = max(1, len(raw) // target)
+                outs.append(raw[::step][:target])
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col].values,
+                    "width": width,
+                    "height": height,
+                    "payload": outs,
+                }
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
+def feature_extract_stub(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Payload → embedding (array<float>) plumbing: the feature extractor a
+    multimodal dedup/ANN pipeline runs before operators/similarity. The
+    model forward pass is stubbed with a deterministic byte-histogram
+    projection (no RNG, identical across runs/engines); the output column
+    is the exact shape `similarity.srp_lsh_buckets` / `ivf_topk` consume,
+    so the full binary→embedding→near-dup chain is composable and tested."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("embedding", ArrayType(FloatType()), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for b in batches:
+            vecs = []
+            for payload in b[payload_col]:
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if raw.size == 0:
+                    vecs.append([0.0] * dim)
+                    continue
+                # byte histogram folded to `dim` buckets, L2-normalized —
+                # deterministic, locality-ish (similar payloads → similar
+                # histograms), cheap
+                hist = np.bincount(raw % dim, minlength=dim).astype(np.float64)
+                norm = float(np.sqrt((hist * hist).sum())) or 1.0
+                vecs.append([float(x) for x in hist / norm])
+            yield pd.DataFrame({id_col: b[id_col].values, "embedding": vecs})
+
+    return df.mapInPandas(run, out_schema)

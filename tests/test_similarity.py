@@ -133,6 +133,48 @@ class TestSRP:
 
 
 @pytest.mark.usefixtures("spark")
+class TestMultimodalPlumbing:
+    def test_resize_is_1to1_and_bounded(self, spark):
+        from crawld_spark.operators.multimodal import resize_stub
+
+        df = spark.createDataFrame(
+            [(1, bytes(range(200)) * 50), (2, b"xy"), (3, b"")],
+            "doc_id long, payload binary",
+        )
+        rows = {r.doc_id: r for r in resize_stub(df, width=32, height=32).collect()}
+        assert set(rows) == {1, 2, 3}
+        target = max(1, 32 * 32 // 64)
+        assert all(r.width == 32 and r.height == 32 for r in rows.values())
+        assert len(bytes(rows[1].payload)) == target
+        assert len(bytes(rows[3].payload or b"")) == 0
+        # deterministic
+        again = {r.doc_id: bytes(r.payload or b"") for r in
+                 resize_stub(df, width=32, height=32).collect()}
+        assert again == {k: bytes(v.payload or b"") for k, v in rows.items()}
+
+    def test_feature_extract_feeds_srp(self, spark):
+        """binary → embedding → SRP buckets composes: identical payloads get
+        identical unit-norm embeddings and collide in every band."""
+        from crawld_spark.operators.multimodal import feature_extract_stub
+        from crawld_spark.operators.similarity import srp_lsh_buckets
+
+        blob = bytes(range(256)) * 4
+        df = spark.createDataFrame(
+            [(1, blob), (2, bytes(blob)), (3, b"completely different payload!")],
+            "doc_id long, payload binary",
+        )
+        emb = feature_extract_stub(df, dim=16)
+        got = {r.doc_id: r.embedding for r in emb.collect()}
+        assert got[1] == got[2]
+        assert abs(sum(x * x for x in got[1]) - 1.0) < 1e-5  # unit norm
+        buckets = srp_lsh_buckets(
+            emb, dim=16, n_bits=8, band_size=2, id_col="doc_id"
+        )
+        bk = {(r.doc_id, r.band_id): r.band_key for r in buckets.collect()}
+        assert all(bk[(1, b)] == bk[(2, b)] for b in range(4))
+
+
+@pytest.mark.usefixtures("spark")
 class TestFrameSample:
     def test_row_explosion_shape(self, spark):
         df = spark.createDataFrame(
