@@ -101,3 +101,66 @@ def fingerprint_kgram_min(text: Column, k: int = 4) -> Column:
     n = F.length(text)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.array_min(F.transform(idx, lambda i: F.md5(F.substring(text, i, k))))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    per_group: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep ≤ per_group docs per group,
+    selected by md5(id) order — a hash-ordered sample is uniform-ish,
+    reproducible across runs AND across engines (no RNG state), and the
+    standard way a training-data pipeline caps per-language volume.
+
+    One shuffle on group_col; the per-group window never sees more than the
+    group's rows, and AQE's skew handling covers a dominant language. At
+    10^10 docs a two-level variant (pre-trim per (group, salt) like the
+    politeness scheduler) bounds task memory — same commuting-selection
+    argument as plans/rank.py.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= per_group)
+        .drop("_rk")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any k-word
+    shingle with a benchmark/eval set — the standard pre-training hygiene
+    pass. Returns (doc_id, n_shared) for contaminated docs only.
+
+    Shape at scale: benchmark shingles are a SMALL set (eval suites are
+    thousands of docs) → broadcast; the corpus side explodes to (doc,
+    shingle-md5) rows that hash-join map-side against the broadcast set, so
+    the only aggregation shuffle is on the (tiny) contaminated subset.
+    Shingle identity travels as md5 (32 bytes), never raw text.
+    """
+    from crawld_spark.operators.dedup import shingles
+
+    doc_sh = docs.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), k)).alias("_sh"),
+    ).select(id_col, F.md5(F.col("_sh")).alias("_h"))
+    bench_sh = (
+        benchmark.select(F.explode(shingles(F.col(text_col), k)).alias("_sh"))
+        .select(F.md5(F.col("_sh")).alias("_h"))
+        .distinct()
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), on="_h", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )

@@ -899,6 +899,49 @@ def fingerprint(spark, sf_dir):
     )
 
 
+@q(
+    "stratified_sample",
+    # deterministic hash-ordered stratified sampling: ≤20 docs per language,
+    # selected by md5(doc_id) — reproducible, RNG-free, engine-portable
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents) WHERE rk <= 20
+    """,
+)
+def stratified_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.stratified_sample(docs, per_group=20).select("doc_id", "lang")
+
+
+@q(
+    "decontaminate",
+    # benchmark decontamination: docs sharing any 3-word shingle with the
+    # 'benchmark' subset (doc_id < 25); shingles travel as md5
+    """
+    WITH d AS (SELECT doc_id, text FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM d)),
+    corpus AS (SELECT doc_id, md5(unnest(sh)) AS h FROM sh),
+    bench AS (SELECT DISTINCT md5(unnest(sh)) AS h FROM sh WHERE doc_id < 25)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM corpus WHERE h IN (SELECT h FROM bench)
+    GROUP BY doc_id
+    """,
+)
+def decontaminate(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.decontaminate(
+        docs, docs.where(F.col("doc_id") < 25), k=3
+    )
+
+
 # =====================================================================
 # 3. engine UDFs under the oracle gate (canonicalization + extraction)
 # =====================================================================
