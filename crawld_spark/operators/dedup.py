@@ -209,6 +209,9 @@ def simhash16(text: Column) -> Column:
     """16-bit SimHash over whitespace tokens, portable construction:
     bit b of md5(token) = high bit of hex digit b+1 (digit ∈ 8..f).
     weight_b = Σ_tokens (bit ? +1 : -1); simhash bit b set iff weight_b > 0.
+
+    Demo-width — kept for the oracle history; production is
+    :func:`simhash64_hex` (64 bits + Hamming-ball banding).
     """
     toks = norm_tokens(text)
     hexes = F.transform(toks, lambda t: F.md5(t))
@@ -225,6 +228,112 @@ def simhash16(text: Column) -> Column:
     out = bits[0]
     for x in bits[1:]:
         out = out + x
+    return out
+
+
+# hex digits whose value has bit k set — the portable per-bit test shared
+# with the DuckDB oracle (an IN-list needs no base conversion on either side)
+_HEX_BIT = {
+    0: list("13579bdf"),
+    1: list("2367abef"),
+    2: list("4567cdef"),
+    3: list("89abcdef"),
+}
+
+
+def simhash64_hex(text: Column) -> Column:
+    """64-bit SimHash over whitespace tokens, emitted as a 16-hex-char
+    string (hex keeps bit 63 sign-free and bit-identical across engines).
+
+    Construction (single source of truth for the DuckDB oracle twin,
+    queries.py ``_SIMHASH64_SQL``): token hash = md5(token); SimHash bit
+    ``b`` (0..63) reads hex digit ``d = b // 4`` (1-based position d+1) of
+    the md5, bit-in-digit ``k = b % 4`` — i.e. the first 16 md5 hex digits
+    supply 4 bits each. weight_b = Σ_tokens (bit ? +1 : -1); output digit
+    ``d`` = the 4-bit value {k: weight_{4d+k} > 0}.
+
+    One ``aggregate`` pass with a 64-int array accumulator (zip_with merge)
+    — JVM-side, whole-stage-codegen'd, no per-bit re-scan of the token
+    array (the 16-bit demo ran 16 aggregate passes; 64 would not fly).
+    """
+    toks = norm_tokens(text)
+    hexes = F.transform(toks, lambda t: F.md5(t))
+
+    def tok_bits(h: Column) -> Column:
+        # ±1 per bit, laid out [b=0..63]
+        per_bit = []
+        for b in range(64):
+            d, k = b // 4, b % 4
+            per_bit.append(
+                F.when(F.substring(h, d + 1, 1).isin(*_HEX_BIT[k]), F.lit(1))
+                .otherwise(F.lit(-1))
+            )
+        return F.array(*per_bit)
+
+    zeros = F.array(*[F.lit(0) for _ in range(64)])
+    ws = F.aggregate(
+        hexes, zeros, lambda acc, h: F.zip_with(acc, tok_bits(h), lambda a, b: a + b)
+    )
+    digits = []
+    for d in range(16):
+        val = sum(
+            (
+                F.when(F.element_at(ws, 4 * d + k + 1) > 0, F.lit(1 << k)).otherwise(
+                    F.lit(0)
+                )
+            )
+            for k in range(4)
+        )
+        digits.append(F.lower(F.conv(val.cast("string"), 10, 16)))
+    return F.concat(*digits)
+
+
+def simhash_bands(sim_hex: Column, n_bands: int = 4) -> list[Column]:
+    """Split a 16-hex-char SimHash into ``n_bands`` equal bit bands (as hex
+    substrings). Pigeonhole: two hashes within Hamming distance
+    ``n_bands - 1`` agree on ≥1 band — so banding on these keys finds every
+    pair within distance 3 at the default 4×16-bit layout, without any
+    all-pairs comparison (the Hamming-ball analog of MinHash banding)."""
+    assert 16 % n_bands == 0
+    w = 16 // n_bands
+    return [F.substring(sim_hex, b * w + 1, w) for b in range(n_bands)]
+
+
+def simhash_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two 16-hex-char SimHashes — digit-wise
+    popcount of the XOR (JVM-only: conv + bit_count)."""
+    total = F.lit(0)
+    for d in range(16):
+        va = F.conv(F.substring(a, d + 1, 1), 16, 10).cast("long")
+        vb = F.conv(F.substring(b, d + 1, 1), 16, 10).cast("long")
+        total = total + F.bit_count(va.bitwiseXOR(vb))
+    return total.cast("int")
+
+
+def simhash_band_buckets(
+    docs: DataFrame,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash64 → Hamming-ball LSH bucket rows (band_id, band_key, doc_id):
+    docs sharing a band bucket are near-dup candidates, and every pair
+    within Hamming distance ``n_bands - 1`` is guaranteed to share one.
+    Same union-of-projections plan shape as minhash_lsh_buckets (measured
+    faster than the explode variant there)."""
+    sig = docs.select(F.col(id_col), simhash64_hex(F.col(text_col)).alias("_sim"))
+    bands = simhash_bands(F.col("_sim"), n_bands)
+    parts = [
+        sig.select(
+            F.lit(b).alias("band_id"),
+            bands[b].alias("band_key"),
+            F.col(id_col),
+        )
+        for b in range(n_bands)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out
 
 

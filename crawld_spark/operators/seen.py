@@ -492,7 +492,7 @@ def probe_insert_cogroup(candidates: DataFrame, shards: DataFrame) -> DataFrame:
 def exact_fp_filter(
     suspects: DataFrame,  # columns incl. url, h
     suspect_hashes: DataFrame,  # column: h (the cogroup's suspect verdicts)
-    frontier_urls: DataFrame,  # column: url (the exact seen set of record)
+    frontier_urls: DataFrame,  # columns: url [, h] (the exact seen set of record)
 ) -> DataFrame:
     """Tier-3 exactness without a frontier shuffle: suspects that are NOT in
     the frontier (cuckoo false positives) are admitted.
@@ -504,11 +504,24 @@ def exact_fp_filter(
     that join are per-round-sized. Hash collisions are safe: a colliding
     frontier row only ever ADDS a url to the matched set, and the final
     comparison is url-exact.
+
+    When the frontier carries a persisted ``h`` column (FRONTIER_SCHEMA
+    stamps ``h = xxhash64(url)`` at admission — VERDICT r2 item 3), the
+    pre-join consumes the stored 8-byte column: the scan is pruned to
+    ``[url, h]`` and no per-round xxhash64 recompute over the url strings
+    runs. At cluster scale with the frontier base files sorted/bucketed by
+    ``h`` (an Iceberg sort-order this layout assumes, like ivf_topk's
+    label partitioning), parquet zone maps on ``h`` additionally prune the
+    url-column reads to the hash-matched row groups — the residual
+    O(total-frontier) term is then 8 bytes/row, not the url strings.
     """
+    fr = frontier_urls
+    if "h" in fr.columns:
+        fr = fr.select("url", "h")
+    else:
+        fr = fr.select("url").withColumn("h", F.xxhash64(F.col("url")))
     matched = (
-        frontier_urls.select("url")
-        .withColumn("h", F.xxhash64(F.col("url")))
-        .join(F.broadcast(suspect_hashes), on="h", how="left_semi")
+        fr.join(F.broadcast(suspect_hashes), on="h", how="left_semi")
         .select("url")
     )
     return suspects.join(matched, on="url", how="left_anti")
@@ -522,6 +535,7 @@ def admit_new_urls(
     n_shards: int,
     round_id: int = 0,
     broadcast_bloom: bool = False,
+    eager: bool = True,
 ) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
     """Full three-tier admission in one Arrow pass. Returns
     (admitted(url, h, shard, priority), dirty_shards, caches) — caches is
@@ -601,17 +615,20 @@ def admit_new_urls(
     # url-exact anti-join — which is then small×small and AQE-broadcast.
     fp_survivors = exact_fp_filter(suspects, susp, frontier_urls)
 
-    # localCheckpoint (eager), NOT .cache(): the union-of-joins plan defeats
+    # localCheckpoint, NOT .cache(): the union-of-joins plan defeats
     # Spark's cache-plan matching under AQE, so downstream consumers (rank,
     # frontier inserts) silently RECOMPUTE the whole admission chain — a
     # measured 3.5× slowdown. Checkpointing truncates the lineage to the
     # materialized blocks; every consumer reads them directly. (On a real
     # cluster a lost block fails the stage instead of recomputing — fine:
     # the round is idempotent and replays from the last commit.)
+    # ``eager=False`` lets the caller FUSE the materialization into its next
+    # action (the round loop's rank/count job) instead of paying a dedicated
+    # job here — the blocks persist on first compute either way.
     admitted = (
         new.unionByName(fp_survivors)
         .select("url", "h", "shard", "priority")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=eager)
     )
     dirty_shards = out.where(F.col("kind") == "b").select(
         F.col("shard").alias("shard_id"),

@@ -8,6 +8,7 @@ semantics chosen to be replicable in ANSI SQL for the DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -58,6 +59,73 @@ def token_count_bpe_ish(text: Column) -> Column:
     """BPE-ish pre-tokenizer count: letter runs, digit runs, single
     punctuation marks."""
     return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+# rank-ordered BPE merge table (the "vocab"): a small embedded merge list a
+# real tokenizer would load from its vocab file. Single source of truth for
+# BOTH engines — queries.py renders it into the DuckDB oracle's VALUES list.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("an", "d"), ("r", "e"), ("o", "n"), ("e", "n"), ("a", "t"),
+    ("o", "r"), ("e", "s"), ("s", "t"), ("in", "g"), ("t", "o"),
+    ("o", "u"), ("i", "t"), ("o", "f"), ("a", "l"), ("e", "d"),
+]
+
+_BPE_SEP = "\x1f"
+
+
+def bpe_token_count_word(word: str, merges: list[tuple[str, str]]) -> int:
+    """Token count of one word under rank-ordered BPE merges (shared
+    semantics with the DuckDB recursive-CTE twin): segmentation starts as
+    characters, separator-wrapped (``␟a␟b␟c␟``) so a merge pattern
+    ``␟x␟y␟`` only ever matches WHOLE adjacent symbols — never a symbol
+    suffix/prefix. Each merge (x, y), in rank order, is applied to fixpoint
+    (replace-all, re-scanned: replacing consumes the shared boundary
+    separator, so runs like ``a a a a`` need a second pass to pair the
+    odd occurrences). Tokens = separators - 1."""
+    if not word:
+        return 0
+    s = _BPE_SEP
+    seg = s + s.join(word) + s
+    for x, y in merges:
+        pat, rep = s + x + s + y + s, s + x + y + s
+        while pat in seg:
+            seg = seg.replace(pat, rep)
+    return seg.count(s) - 1
+
+
+def token_count_bpe_udf(merges: list[tuple[str, str]] | None = None):
+    """Vectorized (Arrow-batched) pandas UDF: text → BPE token count over
+    whitespace-pretokenized words. The merge table is tiny and rides in the
+    UDF closure (broadcast once per executor — the 'broadcast vocab' shape;
+    a production vocab of ~50k merges would use an explicit
+    sparkContext.broadcast, same plumbing). This is the honest UDF case:
+    iterative merge application has no built-in-function form, so it runs
+    in Python — but batch-vectorized over Arrow, never per-row-serialized.
+    """
+    from pyspark.sql.types import LongType
+
+    ms = list(merges) if merges is not None else list(BPE_MERGES)
+
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)  # ASCII \s ≡ the oracle's RE2 \s
+
+    @F.pandas_udf(LongType())
+    def _count(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(0)
+                continue
+            total = 0
+            for w in ws.split(t):
+                if w:
+                    total += bpe_token_count_word(w, ms)
+            out.append(total)
+        return pd.Series(out, dtype="int64")
+
+    return _count
 
 
 def quality_features(text: Column) -> dict[str, Column]:

@@ -34,6 +34,7 @@ def global_rank(
     start: int = 1,
     num_partitions: int | None = None,
     caches: list | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Append a dense global rank column following the given total order.
 
@@ -41,6 +42,11 @@ def global_rank(
     see one materialization); pass ``caches`` to receive the handle and
     unpersist it after the result is materialized — otherwise it is released
     best-effort when this DataFrame is garbage-collected.
+
+    ``stats`` (optional dict) receives ``{"total": <row count>}`` from the
+    offset job — callers that need the input cardinality get it for free
+    instead of running a separate count job (the round loop's admitted
+    count rides on this).
     """
     if num_partitions is None:
         # full session shuffle width — no magic cap (r1's min(..., 64) put
@@ -64,6 +70,8 @@ def global_rank(
         r["_pid"]: r["cnt"]
         for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     }
+    if stats is not None:
+        stats["total"] = int(sum(counts.values()))
     offsets: dict[int, int] = {}
     acc = start
     for pid in sorted(counts):
@@ -88,4 +96,75 @@ def global_rank(
         d.withColumn(
             out, (F.element_at(offset_map, F.col("_pid")) + local).cast("long")
         ).drop("_pid", "_mid")
+    )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list,  # total order, last key must be unique (no ties)
+    val_col,  # Column expression: the per-row value to prefix-sum
+    out: str = "cum",
+    num_partitions: int | None = None,
+    caches: list | None = None,
+) -> DataFrame:
+    """Append the inclusive running sum of ``val_col`` over the given total
+    order — equivalent to ``F.sum(val).over(Window.orderBy(*order_cols))``
+    but WITHOUT the single-partition exchange that window forces (the fetch
+    budget's scale wart, VERDICT r2 "What's wrong #2"). Same two-phase shape
+    as :func:`global_rank`:
+
+      1. range-repartition + sort-within-partitions by the total order
+      2. one tiny job sums ``val_col`` per partition → driver prefix offsets
+      3. within-partition running sum via a window PARTITIONED BY the range
+         partition id — every partition computes independently — plus the
+         inlined literal offset of all preceding partitions.
+
+    Identical to the single-task window for any input (offsets are exact
+    partial sums; within-partition order is the same total order)."""
+    if num_partitions is None:
+        num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = max(1, num_partitions)
+
+    d = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_v", val_col.cast("long"))
+        .cache()
+    )
+    if caches is not None:
+        caches.append(d)
+    sums = {
+        r["_pid"]: r["s"] or 0
+        for r in d.groupBy("_pid").agg(F.sum("_v").alias("s")).collect()
+    }
+    if not sums:
+        return df.withColumn(out, F.lit(0).cast("long")).limit(0)
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += int(sums[pid])
+    from pyspark.sql.window import Window
+
+    offset_map = F.create_map(
+        *[
+            c
+            for pid in sorted(offsets)
+            for c in (F.lit(pid), F.lit(offsets[pid]).cast("long"))
+        ]
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn(
+            out,
+            (F.element_at(offset_map, F.col("_pid")) + F.sum("_v").over(w)).cast(
+                "long"
+            ),
+        )
+        .drop("_pid", "_v")
     )

@@ -555,6 +555,56 @@ _SIMHASH_SQL = f"""
     FROM bits GROUP BY doc_id
 """
 
+# 64-bit SimHash (production width — operators/dedup.simhash64_hex is the
+# single source of truth): SimHash bit b reads md5 hex digit b//4
+# (1-based b//4+1), bit-in-digit b%4, tested with a portable IN-list per
+# bit position; output = 16-hex-char string (hex sidesteps BIGINT sign
+# semantics differing across engines at bit 63).
+_SIMHASH64_CORE = """
+    tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM d),
+    tb AS (SELECT doc_id, md5(w) AS h FROM tok),
+    bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (
+                   (b % 4 = 0 AND substr(h, b // 4 + 1, 1) IN ('1','3','5','7','9','b','d','f'))
+                OR (b % 4 = 1 AND substr(h, b // 4 + 1, 1) IN ('2','3','6','7','a','b','e','f'))
+                OR (b % 4 = 2 AND substr(h, b // 4 + 1, 1) IN ('4','5','6','7','c','d','e','f'))
+                OR (b % 4 = 3 AND substr(h, b // 4 + 1, 1) IN ('8','9','a','b','c','d','e','f'))
+             ) THEN 1 ELSE -1 END) AS wgt
+      FROM tb CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bs
+      GROUP BY doc_id, b),
+    hexdigits AS (
+      SELECT doc_id, b // 4 AS dg,
+             sum(CASE WHEN wgt > 0 THEN (1 << (b % 4)) ELSE 0 END) AS val
+      FROM bits GROUP BY doc_id, b // 4),
+    sim AS (
+      SELECT doc_id, string_agg(lower(to_hex(val)), '' ORDER BY dg) AS simhash
+      FROM hexdigits GROUP BY doc_id)
+"""
+
+_SIMHASH64_SQL = (
+    f"WITH d AS ({_DOCS_WITH_DUPS}),"
+    + _SIMHASH64_CORE
+    + "SELECT doc_id, simhash FROM sim"
+)
+
+# Hamming-ball banding over the 64-bit SimHash: 4 bands × 16 bits (4 hex
+# chars); any pair within Hamming distance 3 shares ≥1 band (pigeonhole) —
+# candidate groups are band buckets with >1 doc, exactly the MinHash-LSH
+# candidate shape but for Hamming space.
+_SIMHASH64_BANDS_SQL = (
+    f"WITH d AS ({_DOCS_WITH_DUPS}),"
+    + _SIMHASH64_CORE
+    + """
+    , bands AS (
+      SELECT b AS band_id, substr(simhash, b * 4 + 1, 4) AS band_key, doc_id
+      FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs)
+    SELECT band_id, band_key, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM bands GROUP BY band_id, band_key HAVING count(*) > 1
+    """
+)
+
 
 @q(
     "dedup_clusters",
@@ -588,10 +638,20 @@ def dedup_clusters(spark, sf_dir):
     )
 
 
-@q("dedup_simhash", _SIMHASH_SQL)
+@q("dedup_simhash", _SIMHASH64_SQL)
 def dedup_simhash(spark, sf_dir):
+    # production 64-bit SimHash (r3; the 16-bit demo construction remains
+    # as operators/dedup.simhash16 with its oracle in _SIMHASH_SQL)
     d = _docs_with_dups(spark, sf_dir)
-    return d.select("doc_id", dedup.simhash16(F.col("text")).alias("simhash"))
+    return d.select("doc_id", dedup.simhash64_hex(F.col("text")).alias("simhash"))
+
+
+@q("dedup_simhash_bands", _SIMHASH64_BANDS_SQL)
+def dedup_simhash_bands(spark, sf_dir):
+    # Hamming-ball LSH candidates: every pair within Hamming distance 3
+    # (4 bands × 16 bits) is guaranteed to surface in ≥1 bucket
+    buckets = dedup.simhash_band_buckets(_docs_with_dups(spark, sf_dir), n_bands=4)
+    return dedup.minhash_candidate_groups(buckets)
 
 
 @q(
@@ -881,6 +941,62 @@ def token_counts(spark, sf_dir):
     )
 
 
+# real vocab-driven BPE (r3): the rank-ordered merge table lives in
+# operators/textstats.BPE_MERGES (single source of truth) and is rendered
+# into the oracle's VALUES list here. The oracle replays the identical
+# algorithm as a recursive CTE: per word, segmentation starts as chars
+# joined by chr(31); merge rank rk is applied to FIXPOINT (replace-all,
+# re-checked — the recursion stays on rk while the pair still occurs, a
+# merge can create new occurrences of itself), then advances to rk+1.
+_BPE_VALUES = ", ".join(
+    f"({i + 1}, '{x}', '{y}')"
+    for i, (x, y) in enumerate(textstats.BPE_MERGES)
+)
+
+_BPE_SQL = f"""
+    WITH RECURSIVE merges(mrank, x, y) AS (VALUES {_BPE_VALUES}),
+    words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents)
+      WHERE w <> ''),
+    init AS (
+      SELECT doc_id, w,
+             chr(31) || array_to_string(list_transform(generate_series(1, length(w)),
+                                                       i -> substr(w, i, 1)), chr(31))
+                     || chr(31) AS seg
+      FROM words),
+    steps AS (
+      SELECT doc_id, w, seg, 1 AS rk FROM init
+      UNION ALL
+      SELECT s.doc_id, s.w,
+             CASE WHEN contains(s.seg, chr(31) || m.x || chr(31) || m.y || chr(31))
+                  THEN replace(s.seg, chr(31) || m.x || chr(31) || m.y || chr(31),
+                               chr(31) || m.x || m.y || chr(31))
+                  ELSE s.seg END,
+             CASE WHEN contains(s.seg, chr(31) || m.x || chr(31) || m.y || chr(31))
+                  THEN s.rk ELSE s.rk + 1 END
+      FROM steps s JOIN merges m ON m.mrank = s.rk),
+    done AS (
+      SELECT doc_id, seg FROM steps
+      WHERE rk = (SELECT max(mrank) + 1 FROM merges)),
+    counts AS (
+      SELECT doc_id,
+             sum(length(seg) - length(replace(seg, chr(31), '')) - 1) AS n
+      FROM done GROUP BY doc_id)
+    SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens_bpe
+    FROM documents d LEFT JOIN counts c USING (doc_id)
+"""
+
+
+@q("token_counts_bpe", _BPE_SQL)
+def token_counts_bpe(spark, sf_dir):
+    cnt = textstats.token_count_bpe_udf()
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", cnt(F.col("text")).alias("n_tokens_bpe")
+    )
+
+
 @q(
     "fingerprint",
     """
@@ -1040,7 +1156,7 @@ def multimodal_meta(spark, sf_dir):
     """
     WITH p AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
     f AS (SELECT doc_id, text,
-                 unnest(generate_series(0, least(greatest(n // 10, 1), 8) - 1)) AS k
+                 unnest(generate_series(0, least(greatest(n // 10, 1), 6) - 1)) AS k
           FROM p)
     SELECT doc_id, CAST(k AS INT) AS frame_idx,
            md5(substring(text, CAST(k * 10 + 1 AS BIGINT), 10)) AS frame_md5
@@ -1051,10 +1167,63 @@ def frame_sample(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
-    frames = frame_sample_stub(d, id_col="doc_id", payload_col="payload", every_n=10)
+    # max_frames is a dial (r3); the oracle's `least(..., 6)` mirrors it
+    frames = frame_sample_stub(
+        d, id_col="doc_id", payload_col="payload", every_n=10, max_frames=6
+    )
     return frames.select(
         "doc_id", "frame_idx", F.md5("frame_bytes").alias("frame_md5")
     )
+
+
+@q(
+    "multimodal_decode_roundtrip",
+    # REAL decoder gate (r3): the engine builds a 24-bit BMP per doc with
+    # doc_id-derived geometry (pure-numpy encode_bmp), then decodes it back
+    # with the pure-numpy decoder; the oracle states the expected metadata
+    # arithmetically (BMP size = 54 header bytes + 4-byte-padded rows).
+    # Pixel-level exactness is asserted by the engine golden
+    # (tests/test_similarity.py TestRealDecoders).
+    """
+    SELECT doc_id,
+           CAST(54 + (3 * w + (4 - (3 * w) % 4) % 4) * h AS BIGINT) AS n_bytes,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           3 AS channels,
+           'bmp' AS format
+    FROM (SELECT doc_id, 2 + doc_id % 7 AS w, 1 + doc_id % 5 AS h FROM documents)
+    """,
+)
+def multimodal_decode_roundtrip(spark, sf_dir):
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from crawld_spark.operators.multimodal import decode_meta, encode_bmp
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for i in b["doc_id"]:
+                i = int(i)
+                w, h = 2 + i % 7, 1 + i % 5
+                yy, xx = np.mgrid[0:h, 0:w]
+                pix = ((i + xx + yy) % 256).astype(np.uint8)
+                payloads.append(encode_bmp(np.stack([pix] * 3, axis=-1)))
+            yield pd.DataFrame({"doc_id": b["doc_id"].values, "payload": payloads})
+
+    bmps = d.mapInPandas(build, schema)
+    return decode_meta(bmps, id_col="doc_id", payload_col="payload")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

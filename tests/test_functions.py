@@ -237,3 +237,43 @@ Disallow: /
         assert out["h1"] == (["/p/"], 3.0)
         assert out["h2"] == ([], None)
         assert out["h3"] == ([], None)
+
+
+class TestBpeTokenCount:
+    """Rank-ordered BPE merge semantics (operators/textstats.BPE_MERGES is
+    also rendered into the DuckDB oracle — these pin the Python reference)."""
+
+    def test_merge_chain(self):
+        from crawld_spark.operators.textstats import BPE_MERGES, bpe_token_count_word
+
+        # t+h → th, th+e → the: one token
+        assert bpe_token_count_word("the", BPE_MERGES) == 1
+        # 'thee': the + e — 'the' exists, trailing e unmerged
+        assert bpe_token_count_word("thee", BPE_MERGES) == 2
+        assert bpe_token_count_word("", BPE_MERGES) == 0
+        assert bpe_token_count_word("x", BPE_MERGES) == 1
+        # no merge applies at all → one token per char
+        assert bpe_token_count_word("zzz", BPE_MERGES) == 3
+
+    def test_fixpoint_self_creating_merge(self):
+        from crawld_spark.operators.textstats import bpe_token_count_word
+
+        # merge (a, a) over a run: one replace pass pairs alternating
+        # occurrences (the shared separator is consumed), the fixpoint
+        # re-scan pairs the rest → aa|aa, never a|aaa and never aaaa
+        # (pair (aa, aa) is a different, unlearned symbol pair)
+        assert bpe_token_count_word("aaaa", [("a", "a")]) == 2
+        assert bpe_token_count_word("aaa", [("a", "a")]) == 2  # aa + a
+        # whole-symbol matching: 'aa'+'a' must NOT merge via the 'a' suffix
+        assert bpe_token_count_word("aab", [("a", "a"), ("a", "b")]) == 2  # aa + b
+
+    def test_rank_order_matters(self):
+        from crawld_spark.operators.textstats import bpe_token_count_word
+
+        # rank order (a,b) before (b,c): 'abc' → ab + c (b consumed first)
+        assert bpe_token_count_word("abc", [("a", "b"), ("b", "c")]) == 2
+        # reversed ranks: 'abc' → a + bc
+        assert bpe_token_count_word("abc", [("b", "c"), ("a", "b")]) == 2
+        # and the segmentations differ even when counts agree
+        assert bpe_token_count_word("abcc", [("a", "b"), ("b", "c")]) == 3
+        assert bpe_token_count_word("abcc", [("b", "c"), ("a", "b")]) == 3

@@ -125,6 +125,63 @@ class TestPlanShapes:
         }
         assert got == {"http://h.com/99999"}
 
+    def test_tier3_uses_stored_hash(self, spark, tmp_path):
+        """With the frontier's persisted ``h`` column (FRONTIER_SCHEMA), the
+        tier-3 pre-join must consume the stored 8-byte column: the frontier
+        scan is pruned to [url, h] and NO xxhash64 recompute appears in the
+        frontier branch of the semi-join."""
+        from crawld_spark.operators.seen import exact_fp_filter
+
+        p = str(tmp_path / "fr.parquet")
+        spark.range(0, 2000).select(
+            F.concat(F.lit("http://h.com/"), F.col("id").cast("string")).alias("url"),
+            F.lit("pending").alias("status"),
+            F.col("id").alias("round_added"),
+        ).withColumn("h", F.xxhash64("url")).write.parquet(p)
+        frontier = spark.read.parquet(p)
+        suspects = spark.createDataFrame(
+            [(f"http://h.com/{i}", 1.0) for i in range(10)]
+            + [("http://h.com/99999", 2.0)],
+            "url string, priority double",
+        ).withColumn("h", F.xxhash64(F.col("url")))
+        out = exact_fp_filter(suspects, suspects.select("h"), frontier)
+        plan = _plan(out)
+        i = plan.rindex("LeftSemi")
+        j = plan.index("BroadcastExchange", i)
+        frontier_branch = plan[i:j]
+        assert "xxhash64" not in frontier_branch, plan
+        # column pruning: the frontier scan reads only url + h
+        read_schema = plan[i:].split("ReadSchema:")[1].splitlines()[0]
+        assert "url" in read_schema and "h" in read_schema
+        assert "status" not in read_schema and "round_added" not in read_schema
+        # semantics unchanged: only the true FP survives
+        assert {r.url for r in out.collect()} == {"http://h.com/99999"}
+
+    def test_global_prefix_sum_no_single_partition(self, spark):
+        """The fetch-budget prefix count must not collapse to one task: the
+        plan may not contain a SinglePartition exchange (the r2 budget
+        window did), and the values must equal the single-task window."""
+        from pyspark.sql.window import Window
+
+        from crawld_spark.plans.rank import global_prefix_sum
+
+        df = spark.range(0, 3000).select(
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+            (F.col("id") % 5).cast("double").alias("priority"),
+            F.col("id").alias("discovery_seq"),
+            (F.col("id") % 3 == 0).cast("int").alias("ok"),
+        )
+        order = [F.desc("priority"), F.asc("discovery_seq")]
+        got_df = global_prefix_sum(df, order, F.col("ok"), out="cum", num_partitions=8)
+        assert "SinglePartition" not in _plan(got_df), _plan(got_df)
+        got = {r.url: r.cum for r in got_df.collect()}
+        w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        want = {
+            r.url: r.cum
+            for r in df.withColumn("cum", F.sum("ok").over(w)).collect()
+        }
+        assert got == want
+
     def test_lookup_join_never_shuffles_big_side(self, spark):
         """The fetch join must consume the pages/frontier table through the
         broadcast semi-filter — the big side's subtree (below the LeftSemi)

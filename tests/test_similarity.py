@@ -133,6 +133,176 @@ class TestSRP:
 
 
 @pytest.mark.usefixtures("spark")
+class TestSimHash64:
+    def test_near_dup_pairs_collide_in_a_band(self, spark):
+        """Documents differing by one word out of ~40 must land within a
+        small Hamming distance of the 64-bit SimHash, and every pair within
+        distance 3 (= n_bands - 1 at 4×16-bit bands) must share ≥1 band
+        bucket — the Hamming-ball banding guarantee (pigeonhole)."""
+        from crawld_spark.operators.dedup import (
+            simhash64_hex,
+            simhash_band_buckets,
+            simhash_hamming,
+        )
+
+        # 1 token changed out of 200: per-bit majorities are wide at this
+        # length, so the md5-deterministic drift is 2 bits (pinned — no RNG)
+        base = " ".join(f"tok{i}" for i in range(200))
+        variant = " ".join(("CHANGED" if i == 7 else f"tok{i}") for i in range(200))
+        far = " ".join(f"other{i}" for i in range(200))
+        docs = spark.createDataFrame(
+            [(1, base), (2, variant), (3, far)], "doc_id long, text string"
+        )
+        sims = {
+            r.doc_id: r.sim
+            for r in docs.select(
+                "doc_id", simhash64_hex(F.col("text")).alias("sim")
+            ).collect()
+        }
+        assert all(len(s) == 16 for s in sims.values())
+        dist = spark.createDataFrame(
+            [(sims[1], sims[2]), (sims[1], sims[3])], "a string, b string"
+        ).select(simhash_hamming(F.col("a"), F.col("b")).alias("d")).collect()
+        d_near, d_far = dist[0].d, dist[1].d
+        assert d_near <= 3, f"1-word edit drifted {d_near} bits"
+        assert d_far > d_near  # unrelated text is farther away
+
+        buckets = simhash_band_buckets(docs, n_bands=4)
+        a = buckets.select(F.col("doc_id").alias("d1"), "band_id", "band_key")
+        b = buckets.select(F.col("doc_id").alias("d2"), "band_id", "band_key")
+        pairs = {
+            (r.d1, r.d2)
+            for r in a.join(b, on=["band_id", "band_key"])
+            .where(F.col("d1") < F.col("d2"))
+            .select("d1", "d2")
+            .distinct()
+            .collect()
+        }
+        assert (1, 2) in pairs  # within the Hamming ball ⇒ guaranteed collision
+
+    def test_hamming_distance_matches_python(self, spark):
+        from crawld_spark.operators.dedup import simhash_hamming
+
+        rows = [("0000000000000000", "ffffffffffffffff", 64),
+                ("52accede98b26292", "52accede98b26292", 0),
+                ("0000000000000001", "0000000000000003", 1)]
+        df = spark.createDataFrame(
+            [(a, b) for a, b, _ in rows], "a string, b string"
+        ).select("a", "b", simhash_hamming(F.col("a"), F.col("b")).alias("d"))
+        got = {(r.a, r.b): r.d for r in df.collect()}
+        for a, b, want in rows:
+            assert got[(a, b)] == want == bin(int(a, 16) ^ int(b, 16)).count("1")
+
+
+class TestRealDecoders:
+    """Pure-numpy BMP/PPM/WAV decoders: exact pixel / PCM values (no
+    external libraries — the r3 'real decoder behind the stub' item)."""
+
+    def test_bmp_hand_built_golden(self):
+        import struct
+
+        import numpy as np
+
+        from crawld_spark.operators.multimodal import decode_bmp
+
+        # hand-assembled 2×2 24-bit BMP, bottom-up BGR rows, rows padded to
+        # 4 bytes (2*3=6 → pad 2): pixels (row-major, RGB):
+        #   (255,0,0) (0,255,0)
+        #   (0,0,255) (10,20,30)
+        row_bottom = bytes([255, 0, 0, 30, 20, 10]) + b"\x00\x00"  # BGR!
+        row_top = bytes([0, 0, 255, 0, 255, 0]) + b"\x00\x00"
+        body = row_bottom + row_top
+        hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(body), 0, 0, 0, 0)
+        w, h, c, pix = decode_bmp(hdr + info + body)
+        assert (w, h, c) == (2, 2, 3)
+        want = np.array(
+            [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8
+        )
+        assert (pix == want).all()
+
+    def test_bmp_roundtrip_exact(self):
+        import numpy as np
+
+        from crawld_spark.operators.multimodal import decode_bmp, encode_bmp
+
+        # 5×3 (odd width → row padding) deterministic pixels
+        pix = (np.arange(5 * 3 * 3, dtype=np.uint8).reshape(3, 5, 3) * 7) % 251
+        w, h, c, back = decode_bmp(encode_bmp(pix))
+        assert (w, h, c) == (5, 3, 3)
+        assert (back == pix).all()
+
+    def test_ppm_golden_with_comment(self):
+        import numpy as np
+
+        from crawld_spark.operators.multimodal import decode_ppm
+
+        raster = bytes(range(2 * 2 * 3))
+        b = b"P6\n# a comment\n2 2\n255\n" + raster
+        w, h, c, pix = decode_ppm(b)
+        assert (w, h, c) == (2, 2, 3)
+        assert (pix == np.frombuffer(raster, dtype=np.uint8).reshape(2, 2, 3)).all()
+
+    def test_wav_roundtrip_exact_pcm(self):
+        import numpy as np
+
+        from crawld_spark.operators.multimodal import decode_wav, encode_wav
+
+        samples = np.array(
+            [[0, 100], [-32768, 32767], [1234, -4321]], dtype=np.int16
+        )
+        n_ch, rate, back = decode_wav(encode_wav(samples, rate=8000))
+        assert (n_ch, rate) == (2, 8000)
+        assert (back == samples).all()
+
+    def test_decode_meta_routes_formats(self, spark):
+        import numpy as np
+
+        from crawld_spark.operators.multimodal import (
+            decode_meta,
+            encode_bmp,
+            encode_wav,
+        )
+
+        pix = np.zeros((4, 6, 3), dtype=np.uint8)
+        wav = encode_wav(np.zeros((100, 1), dtype=np.int16), rate=16000)
+        rows = [
+            (1, bytearray(encode_bmp(pix))),
+            (2, bytearray(b"P6\n3 2\n255\n" + bytes(3 * 2 * 3))),
+            (3, bytearray(wav)),
+            (4, bytearray(b"\xff\xd8\xff not decodable here")),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r.doc_id: r for r in decode_meta(df).collect()}
+        assert (got[1].format, got[1].width, got[1].height, got[1].channels) == ("bmp", 6, 4, 3)
+        assert (got[2].format, got[2].width, got[2].height) == ("ppm", 3, 2)
+        assert (got[3].format, got[3].width, got[3].height, got[3].channels) == ("wav", 100, 16000, 1)
+        assert got[4].format == "stub"  # honest fallback lane
+
+    def test_resize_bmp_real_exact_pixels(self, spark):
+        import numpy as np
+
+        from crawld_spark.operators.multimodal import (
+            decode_bmp,
+            encode_bmp,
+            resize_bmp_real,
+        )
+
+        pix = (np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3) * 5) % 253
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_bmp(pix))), (2, bytearray(b"not a bmp"))],
+            "doc_id long, payload binary",
+        )
+        got = {r.doc_id: r for r in resize_bmp_real(df, width=2, height=2).collect()}
+        assert got[1].resized
+        w, h, _, back = decode_bmp(bytes(got[1].payload))
+        assert (w, h) == (2, 2)
+        # nearest-neighbor: rows/cols 0 and 2 of the source
+        assert (back == pix[[0, 2]][:, [0, 2]]).all()
+        assert not got[2].resized  # pass-through lane for non-BMP
+
+
+@pytest.mark.usefixtures("spark")
 class TestMultimodalPlumbing:
     def test_resize_is_1to1_and_bounded(self, spark):
         from crawld_spark.operators.multimodal import resize_stub
