@@ -24,7 +24,9 @@ from crawld_spark.session import get_spark  # noqa: E402
 
 
 # the queries worth timing at sf0.1: the crawl-shaped relational core plus
-# every training-data-pipeline operator family (dedup / similarity / text)
+# every training-data-pipeline operator family (dedup / similarity / text).
+# First 19 = the r1 headline (kept verbatim for round-over-round
+# comparability); the tail = operators added in r2/r3 (VERDICT r2 item 10).
 HEADLINE = [
     "frontier_scan_filter",
     "topk_per_group",
@@ -45,6 +47,16 @@ HEADLINE = [
     "quality_score",
     "token_counts",
     "fingerprint",
+    # --- r2/r3 additions ---
+    "srp_neardup",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans",
+    "dedup_clusters",
+    "stratified_sample",
+    "decontaminate",
+    "dedup_simhash_bands",
+    "token_counts_bpe",
+    "multimodal_decode_roundtrip",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

@@ -128,6 +128,105 @@ def ivf_topk(
     )
 
 
+# ---------- deterministic k-means coarse quantizer (IVF training) ----------
+
+
+def kmeans_assign(
+    corpus: DataFrame,  # id_col, vec_col (array<float>)
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train an IVF coarse quantizer with deterministic Lloyd iterations and
+    return the cell assignment ``(id_col, vec_col, label)`` — the exact
+    input shape :func:`ivf_topk` consumes (production IVF trains its cells;
+    per-`label` cells remain the oracle-checked fallback).
+
+    Determinism (no RNG state, reproducible across runs and engines):
+    - init: the k seed vectors are the corpus rows ranked by
+      ``md5(cast(id))`` — a hash-ordered sample, the same RNG-free idiom as
+      textstats.stratified_sample;
+    - each iteration assigns every vector to the nearest centroid by cosine
+      over the int64-quantized vectors (exact integer dot products — ties
+      broken by ascending cell id), then recomputes centroids as the
+      elementwise integer SUM of each cell's quantized vectors (scale
+      cancels under cosine, and exact ints keep every iteration
+      bit-reproducible);
+    - centroids are k×dim ints: they travel driver→plan as literals each
+      iteration (a bounded collect, like rank offsets), so the loop adds NO
+      lineage growth and no checkpoint discipline is needed. Empty cells
+      keep their previous centroid.
+
+    Scale shape (10^10 vectors): per iteration one broadcast-join scan of
+    the corpus + one (cell, pos) aggregation — no all-pairs, no shuffle of
+    the corpus beyond the k-way aggregate; k-means|| style seeding over a
+    sample is the drop-in upgrade when k is large.
+    """
+    qc = corpus.select(F.col(id_col), quantize(vec_col).alias("qv")).cache()
+    seeds = (
+        qc.select("qv", F.md5(F.col(id_col).cast("string")).alias("_h"), F.col(id_col))
+        .orderBy(F.asc("_h"), F.asc(id_col))
+        .limit(k)
+        .collect()
+    )
+    cents: list[tuple[int, list[int]]] = [
+        (i, [int(x) for x in r["qv"]]) for i, r in enumerate(seeds)
+    ]
+
+    def cent_df():
+        sess = corpus.sparkSession
+        return sess.createDataFrame(
+            [(c, v) for c, v in cents], "label int, cv array<bigint>"
+        )
+
+    assign = None
+    for _ in range(max(1, n_iter)):
+        cdf = cent_df()
+        scored = qc.crossJoin(F.broadcast(cdf)).withColumn(
+            "ccos", cosine_sim(F.col("qv"), F.col("cv"))
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("label"))
+        assign = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select(id_col, "label", "qv")
+        )
+        sums = (
+            assign.select("label", F.posexplode("qv").alias("pos", "v"))
+            .groupBy("label", "pos")
+            .agg(F.sum("v").alias("s"))
+            .groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"))
+            .select("label", F.transform("ps", lambda x: x["s"]).alias("cv"))
+            .collect()
+        )
+        new = {int(r["label"]): [int(x) for x in r["cv"]] for r in sums}
+        cents = [(c, new.get(c, v)) for c, v in cents]  # empty cell keeps centroid
+    # materialize the final assignment (small: id + label), then release the
+    # quantized cache — the returned plan must not depend on freed blocks
+    final = assign.select(id_col, "label").localCheckpoint(eager=True)
+    qc.unpersist()
+    return corpus.join(final, on=id_col)
+
+
+def ivf_topk_trained(
+    queries: DataFrame,
+    corpus: DataFrame,  # vec_id, embedding (label assigned here by k-means)
+    k: int = 5,
+    n_probe: int = 1,
+    n_cells: int = 8,
+    n_iter: int = 5,
+) -> DataFrame:
+    """IVF over TRAINED cells: k-means assignment (kmeans_assign) feeding
+    the same multi-probe search as ivf_topk. Iterative training has no
+    single-statement SQL twin, so this rides the driver's rows-only lane;
+    the per-label ivf_topk remains the oracle-checked variant, and the
+    recall test (tests/test_similarity.py) pins trained ≥ per-label."""
+    labeled = kmeans_assign(corpus, k=n_cells, n_iter=n_iter)
+    return ivf_topk(queries, labeled, k=k, n_probe=n_probe)
+
+
 # ---------- signed-random-projection (SRP) LSH for embeddings ----------
 #
 # The banding path for EMBEDDING near-dup at corpus scale: project each

@@ -842,6 +842,19 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+@q("ann_ivf_kmeans")  # rows-only lane: Lloyd training is iterative (no SQL twin);
+def ann_ivf_kmeans(spark, sf_dir):
+    # production IVF: deterministic md5-seeded k-means cells (r3) feeding
+    # the same multi-probe search — recall vs brute pinned ≥ the per-label
+    # oracle variant in tests/test_similarity.py::TestKMeansIVF
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk_trained(
+        emb.where(F.col("vec_id") < 3),
+        emb.where(F.col("vec_id") >= 3).select("vec_id", "embedding"),
+        k=5, n_probe=2, n_cells=8, n_iter=4,
+    )
+
+
 @q(
     "lang_id",
     """

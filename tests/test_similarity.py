@@ -72,6 +72,44 @@ class TestIVF:
 
 
 @pytest.mark.usefixtures("spark")
+class TestKMeansIVF:
+    def test_assignment_deterministic(self, spark):
+        from crawld_spark.operators.similarity import kmeans_assign
+
+        c = _emb(spark).where(F.col("vec_id") >= 10).select("vec_id", "embedding")
+        a1 = {r.vec_id: r.label for r in kmeans_assign(c, k=6, n_iter=3).collect()}
+        a2 = {r.vec_id: r.label for r in kmeans_assign(c, k=6, n_iter=3).collect()}
+        assert a1 == a2
+        assert len(set(a1.values())) > 1  # actually partitions the corpus
+
+    def test_trained_cells_beat_per_label_recall(self, spark):
+        """VERDICT r2 item 7 'done' criterion: at n_probe ∈ {1, 2, 4} and
+        equal cell count, k-means-trained cells must reach ≥ the recall of
+        the arbitrary per-label cells (labels are unclustered in embedding
+        space; Voronoi cells concentrate true neighbors)."""
+        from crawld_spark.operators.similarity import kmeans_assign
+
+        emb = _emb(spark)
+        q = emb.where(F.col("vec_id") < 10)
+        c = emb.where(F.col("vec_id") >= 10)
+        n_cells = c.select("label").distinct().count()
+        truth = _topk_map(brute_force_topk(q, c, k=5))
+        trained = kmeans_assign(
+            c.select("vec_id", "embedding"), k=n_cells, n_iter=4
+        ).localCheckpoint(eager=True)
+
+        def recall(corpus, n_probe):
+            got = _topk_map(ivf_topk(q, corpus, k=5, n_probe=n_probe))
+            hits = sum(len(got.get(qid, set()) & t) for qid, t in truth.items())
+            return hits / sum(len(t) for t in truth.values())
+
+        for n_probe in (1, 2, 4):
+            r_label = recall(c, n_probe)
+            r_train = recall(trained, n_probe)
+            assert r_train >= r_label, (n_probe, r_train, r_label)
+
+
+@pytest.mark.usefixtures("spark")
 class TestConnectedComponents:
     def test_chain_converges(self, spark):
         """A 12-node chain needs several propagation rounds — exercises the
