@@ -48,8 +48,18 @@ def run_crawl(repo: str) -> dict:
         _pin(CPUS) + [sys.executable, os.path.join(repo, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600, cwd=repo,
     )
-    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    if out.returncode != 0:
+        raise RuntimeError(
+            f"bench.py failed in {repo} (rc={out.returncode}):\n"
+            + out.stderr[-2000:]
+        )
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"bench.py produced no JSON line in {repo}; stderr tail:\n"
+            + out.stderr[-2000:]
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> None:

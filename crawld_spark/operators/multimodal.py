@@ -187,8 +187,12 @@ def _decode_any(b: bytes) -> tuple[int, int, int, int, str]:
         if kind == "wav":
             n_ch, rate, samples = decode_wav(b)
             return len(b), samples.shape[0], rate, n_ch, "wav"
-    except ValueError:
-        pass  # malformed or unsupported variant → stub lane
+    except (ValueError, struct.error, IndexError):
+        # malformed or unsupported variant → stub lane. struct.error covers
+        # truncated fixed-layout chunks (e.g. a WAV whose fmt chunk is
+        # shorter than 16 bytes — valid magic, unparseable body); the
+        # decoders raise ValueError for everything they detect themselves.
+        pass
     n, w, h, c = _fake_decode(b)
     return n, w, h, c, "stub"
 

@@ -220,7 +220,13 @@ class Catalog:
             part = self.spark.read.parquet(os.path.join(tdir, d)).withColumn(
                 "_dseq", F.lit(i)
             )
-            delta = part if delta is None else delta.unionByName(part)
+            # allowMissingColumns: schema evolution (a column added to the
+            # table mid-life, e.g. frontier.h in r3) reads as NULL from
+            # files written before the change — Iceberg's add-column
+            # semantics. Readers that need a value backfill (rounds._backfill_h)
+            delta = part if delta is None else delta.unionByName(
+                part, allowMissingColumns=True
+            )
         from pyspark.sql.window import Window
 
         w = Window.partitionBy(*keys).orderBy(F.desc("_dseq"))
@@ -232,7 +238,7 @@ class Catalog:
         if base is None:
             return latest
         survivors = base.join(latest.select(*keys).distinct(), on=list(keys), how="left_anti")
-        return survivors.unionByName(latest)
+        return survivors.unionByName(latest, allowMissingColumns=True)
 
     def write(
         self,
