@@ -57,6 +57,8 @@ HEADLINE = [
     "dedup_simhash_bands",
     "token_counts_bpe",
     "multimodal_decode_roundtrip",
+    # --- r4 additions ---
+    "png_decode_roundtrip",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

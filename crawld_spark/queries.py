@@ -796,20 +796,22 @@ def ann_brute_topk(spark, sf_dir):
     )
 
 
-# IVF twin: the oracle replays the whole algorithm — integer centroids (sum
-# of quantized vectors per label cell), top-n_probe cells per query by
-# centroid cosine, then exact top-k within the probed cells' union. The
-# quantized-int math makes every probing decision bit-identical across
-# engines.
+# IVF twin: the oracle replays the whole algorithm — integer centroids
+# (elementwise floor-MEAN of the quantized vectors per label cell, exact
+# integer floor division so centroid norms cannot overflow int64 at any
+# cell size — ADVICE r3), top-n_probe cells per query by centroid cosine,
+# then exact top-k within the probed cells' union. The quantized-int math
+# makes every probing decision bit-identical across engines.
 _ANN_IVF_SQL = f"""
     WITH q AS (SELECT vec_id AS qid, {_QUANT_SQL} AS qv FROM embeddings WHERE vec_id < 3),
     c AS (SELECT vec_id AS nid, label, {_QUANT_SQL} AS nv FROM embeddings WHERE vec_id >= 3),
     cflat AS (SELECT label, unnest(nv) AS v,
                      unnest(generate_series(1, len(nv))) AS pos
               FROM c),
-    centf AS (SELECT label, pos, CAST(sum(v) AS BIGINT) AS s
+    centf AS (SELECT label, pos, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
               FROM cflat GROUP BY label, pos),
-    cent AS (SELECT label, list(s ORDER BY pos) AS cv FROM centf GROUP BY label),
+    cent AS (SELECT label, list((s - ((s % n + n) % n)) // n ORDER BY pos) AS cv
+             FROM centf GROUP BY label),
     pflat AS (SELECT qid, label, unnest(qv) AS x, unnest(cv) AS y FROM q CROSS JOIN cent),
     pdots AS (SELECT qid, label, CAST(sum(x * y) AS BIGINT) AS dot,
                      CAST(sum(x * x) AS BIGINT) AS nq, CAST(sum(y * y) AS BIGINT) AS nc
@@ -842,16 +844,139 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
-@q("ann_ivf_kmeans")  # rows-only lane: Lloyd training is iterative (no SQL twin);
+# k-means IVF twin (r4 — closes the last no_oracle lane): the Lloyd loop is
+# deterministic with a FIXED iteration count, so the oracle UNROLLS it —
+# seed selection by md5 rank, then per iteration one assignment CTE (argmax
+# of dot(q,c)/|c| over the previous centroids, ties to the lowest label; the
+# |q| denominator cancels in the argmax and is never computed — same formula
+# as similarity.assign_nearest) and one floor-mean centroid-update CTE
+# (empty cells keep their previous centroid via the LEFT JOIN coalesce).
+# The final assignment feeds the identical multi-probe search as the
+# per-label IVF twin. All arithmetic is exact ints + one IEEE double
+# division per score, so every training decision is bit-identical across
+# engines — no inlined trained constants, valid at any scale factor.
+_KM_K, _KM_ITER, _KM_DIM = 8, 4, 64
+
+
+def _kmeans_ivf_sql(k: int = _KM_K, n_iter: int = _KM_ITER, dim: int = _KM_DIM) -> str:
+    def dot(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(1, {dim + 1}),"
+            f" i -> {a}[i] * {b}[i])) AS BIGINT)"
+        )
+
+    def nsq(a: str) -> str:
+        return f"CAST(list_sum(list_transform({a}, x -> x * x)) AS BIGINT)"
+
+    def score(qv: str, cv: str) -> str:
+        return (
+            f"{dot(qv, cv)} / (CASE WHEN {nsq(cv)} = 0 THEN 1.0"
+            f" ELSE sqrt(CAST({nsq(cv)} AS DOUBLE)) END)"
+        )
+
+    # floor-mean: exact integer floor division (Python // semantics)
+    mean = "(s - ((s % n + n) % n)) // n"
+    ctes = [
+        f"q AS (SELECT vec_id AS qid, {_QUANT_SQL} AS qv FROM embeddings WHERE vec_id < 3)",
+        f"c AS (SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings WHERE vec_id >= 3)",
+        f"""cent0 AS (
+      SELECT label, cv FROM (
+        SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                    AS INT) AS label,
+               qv AS cv
+        FROM c) WHERE label < {k})""",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""a{i} AS (
+      SELECT vec_id, qv, label FROM (
+        SELECT c.vec_id, c.qv, t.label,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {score('c.qv', 't.cv')} DESC, t.label) AS r
+        FROM c CROSS JOIN cent{i - 1} t) WHERE r = 1)"""
+        )
+        if i < n_iter:  # the final assignment needs no further update
+            ctes.append(
+                f"""u{i} AS (
+      SELECT label, list({mean} ORDER BY pos) AS cv FROM (
+        SELECT label, pos, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+        FROM (SELECT label, unnest(qv) AS v,
+                     unnest(generate_series(1, len(qv))) AS pos FROM a{i})
+        GROUP BY label, pos)
+      GROUP BY label)"""
+            )
+            ctes.append(
+                f"""cent{i} AS (
+      SELECT p.label, coalesce(u.cv, p.cv) AS cv
+      FROM cent{i - 1} p LEFT JOIN u{i} u ON u.label = p.label)"""
+            )
+    # multi-probe IVF search over the trained cells — identical shape to
+    # _ANN_IVF_SQL (floor-mean centroids recomputed from the labeled corpus,
+    # exactly what ivf_topk does with kmeans_assign's output)
+    ctes.append(f"lc AS (SELECT vec_id AS nid, label, qv AS nv FROM a{n_iter})")
+    ctes.append(
+        """cflat AS (SELECT label, unnest(nv) AS v,
+                     unnest(generate_series(1, len(nv))) AS pos FROM lc)"""
+    )
+    ctes.append(
+        "centf AS (SELECT label, pos, CAST(sum(v) AS BIGINT) AS s, count(*) AS n"
+        " FROM cflat GROUP BY label, pos)"
+    )
+    ctes.append(
+        f"cent AS (SELECT label, list({mean} ORDER BY pos) AS cv"
+        " FROM centf GROUP BY label)"
+    )
+    ctes.append(
+        "pflat AS (SELECT qid, label, unnest(qv) AS x, unnest(cv) AS y"
+        " FROM q CROSS JOIN cent)"
+    )
+    ctes.append(
+        """pdots AS (SELECT qid, label, CAST(sum(x * y) AS BIGINT) AS dot,
+                     CAST(sum(x * x) AS BIGINT) AS nq, CAST(sum(y * y) AS BIGINT) AS nc
+              FROM pflat GROUP BY qid, label)"""
+    )
+    ctes.append(
+        """probed AS (
+      SELECT qid, label FROM (
+        SELECT qid, label,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY dot / (sqrt(nq) * sqrt(nc)) DESC, label) AS r
+        FROM pdots)
+      WHERE r <= 2)"""
+    )
+    ctes.append(
+        """sflat AS (SELECT q.qid, lc.nid, unnest(q.qv) AS x, unnest(lc.nv) AS y
+              FROM probed p JOIN q ON q.qid = p.qid JOIN lc ON lc.label = p.label)"""
+    )
+    ctes.append(
+        """sdots AS (SELECT qid, nid, CAST(sum(x * y) AS BIGINT) AS dot,
+                     CAST(sum(x * x) AS BIGINT) AS nq, CAST(sum(y * y) AS BIGINT) AS nn
+              FROM sflat GROUP BY qid, nid)"""
+    )
+    ctes.append(
+        """ranked AS (SELECT qid, nid, dot / (sqrt(nq) * sqrt(nn)) AS cos,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY dot / (sqrt(nq) * sqrt(nn)) DESC, nid) AS rank
+               FROM sdots)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    SELECT qid, rank, nid, round(cos, 6) AS cos FROM ranked WHERE rank <= 5"
+    )
+
+
+@q("ann_ivf_kmeans", _kmeans_ivf_sql())
 def ann_ivf_kmeans(spark, sf_dir):
     # production IVF: deterministic md5-seeded k-means cells (r3) feeding
     # the same multi-probe search — recall vs brute pinned ≥ the per-label
-    # oracle variant in tests/test_similarity.py::TestKMeansIVF
+    # variant in tests/test_similarity.py::TestKMeansIVF; since r4 the
+    # DuckDB twin replays the whole unrolled training (no rows-only lane)
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk_trained(
         emb.where(F.col("vec_id") < 3),
         emb.where(F.col("vec_id") >= 3).select("vec_id", "embedding"),
-        k=5, n_probe=2, n_cells=8, n_iter=4,
+        k=5, n_probe=2, n_cells=_KM_K, n_iter=_KM_ITER,
     )
 
 
@@ -1237,6 +1362,62 @@ def multimodal_decode_roundtrip(spark, sf_dir):
 
     bmps = d.mapInPandas(build, schema)
     return decode_meta(bmps, id_col="doc_id", payload_col="payload")
+
+
+@q(
+    "png_decode_roundtrip",
+    # REAL PNG decoder gate (r4): the engine builds a non-interlaced 8-bit
+    # PNG per doc — doc_id-derived geometry, alternating RGB/RGBA, and the
+    # row FILTER TYPE cycling over all five (doc_id % 5), so every unfilter
+    # path (none/sub/up/average/paeth) is exercised under the oracle gate —
+    # then decodes it back (zlib inflate + numpy unfilter). n_bytes is
+    # zlib-stream-dependent and has no arithmetic twin, so the oracle
+    # checks the decoded geometry/channels/format columns. Pixel-level
+    # exactness is asserted by the engine golden (tests/test_similarity.py
+    # TestPngDecoder).
+    """
+    SELECT doc_id,
+           CAST(2 + doc_id % 9 AS INT) AS width,
+           CAST(1 + doc_id % 6 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS INT) AS channels,
+           'png' AS format
+    FROM documents
+    """,
+)
+def png_decode_roundtrip(spark, sf_dir):
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from crawld_spark.operators.multimodal import decode_meta, encode_png
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for i in b["doc_id"]:
+                i = int(i)
+                w, h, c = 2 + i % 9, 1 + i % 6, 3 if i % 2 == 0 else 4
+                yy, xx = np.mgrid[0:h, 0:w]
+                pix = np.stack(
+                    [((i + xx + yy * (ch + 1)) % 256) for ch in range(c)], axis=-1
+                ).astype(np.uint8)
+                payloads.append(encode_png(pix, filter_type=i % 5))
+            yield pd.DataFrame({"doc_id": b["doc_id"].values, "payload": payloads})
+
+    pngs = d.mapInPandas(build, schema)
+    return decode_meta(pngs, id_col="doc_id", payload_col="payload").select(
+        "doc_id", "width", "height", "channels", "format"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

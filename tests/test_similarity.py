@@ -405,3 +405,193 @@ class TestFrameSample:
         df = spark.createDataFrame([(1, b"z" * 1000)], "doc_id long, payload binary")
         rows = frame_sample_stub(df, every_n=10).collect()
         assert len(rows) == 8  # capped at 8 frames per row
+
+
+@pytest.mark.usefixtures("spark")
+class TestKMeansIterationShape:
+    """VERDICT r3 item 3: no exchange of the k-expanded frame inside a
+    Lloyd iteration. Small k assigns via a pure projection (zero
+    exchanges); large k via broadcast + map-side max_by (no window, and
+    partial aggregation collapses the k candidates before the shuffle)."""
+
+    def _qc(self, spark):
+        from crawld_spark.operators.similarity import quantize
+
+        return (
+            _emb(spark)
+            .where(F.col("vec_id") >= 10)
+            .select("vec_id", quantize("embedding").alias("qv"))
+        )
+
+    def _cents(self, spark, k):
+        from crawld_spark.operators.similarity import kmeans_assign  # noqa: F401 (import check)
+
+        rows = (
+            self._qc(spark)
+            .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(k)
+            .collect()
+        )
+        return [(i, [int(x) for x in r["qv"]]) for i, r in enumerate(rows)]
+
+    def test_literal_assignment_is_exchange_free(self, spark):
+        from crawld_spark.operators.similarity import assign_nearest
+
+        qc = self._qc(spark)
+        plan = (
+            assign_nearest(qc, self._cents(spark, 6), "vec_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
+        assert "Window" not in plan, plan
+
+    def test_maxby_assignment_no_window_partial_agg(self, spark):
+        import crawld_spark.operators.similarity as sim
+
+        qc = self._qc(spark)
+        old = sim.LITERAL_ARGMAX_MAX_K
+        sim.LITERAL_ARGMAX_MAX_K = 0  # force the broadcast/max_by path
+        try:
+            df = sim.assign_nearest(qc, self._cents(spark, 6), "vec_id")
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "Window" not in plan, plan
+            # partial aggregation must run BELOW the exchange: the first
+            # (deepest-printed, i.e. last) aggregate node is a partial
+            # max_by, so the shuffle carries one row per id, never k per id
+            assert "partial_max_by" in plan or "partial_maxby" in plan.lower(), plan
+        finally:
+            sim.LITERAL_ARGMAX_MAX_K = old
+
+    def test_paths_agree(self, spark):
+        """Both assignment paths are the same function: identical labels."""
+        import crawld_spark.operators.similarity as sim
+
+        qc = self._qc(spark)
+        cents = self._cents(spark, 6)
+        lit = {r.vec_id: r.label for r in sim.assign_nearest(qc, cents, "vec_id").collect()}
+        old = sim.LITERAL_ARGMAX_MAX_K
+        sim.LITERAL_ARGMAX_MAX_K = 0
+        try:
+            agg = {r.vec_id: r.label for r in sim.assign_nearest(qc, cents, "vec_id").collect()}
+        finally:
+            sim.LITERAL_ARGMAX_MAX_K = old
+        assert lit == agg
+        assert len(set(lit.values())) > 1
+
+
+@pytest.mark.usefixtures("spark")
+class TestPngDecoder:
+    """r4 PNG decoder: stdlib zlib + numpy unfilter, exact pixels across
+    every filter type, RGB and RGBA, plus hand-built and malformed lanes."""
+
+    def test_roundtrip_exact_all_filters(self):
+        import numpy as np
+
+        from crawld_spark.operators.multimodal import decode_png, encode_png
+
+        pix = ((np.arange(7 * 5 * 3).reshape(5, 7, 3) * 37) % 256).astype(np.uint8)
+        for ft in range(5):
+            w, h, c, back = decode_png(encode_png(pix, filter_type=ft))
+            assert (w, h, c) == (7, 5, 3), ft
+            assert (back == pix).all(), f"filter {ft}"
+
+    def test_roundtrip_rgba(self):
+        import numpy as np
+
+        from crawld_spark.operators.multimodal import decode_png, encode_png
+
+        pix = ((np.arange(4 * 6 * 4).reshape(6, 4, 4) * 53 + 11) % 256).astype(np.uint8)
+        for ft in (1, 3, 4):
+            w, h, c, back = decode_png(encode_png(pix, filter_type=ft))
+            assert (w, h, c) == (4, 6, 4)
+            assert (back == pix).all(), f"filter {ft}"
+
+    def test_hand_built_golden(self):
+        """Hand-assembled 2×1 RGB PNG (filter 0) decoded against literal
+        pixel values — independent of encode_png."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from crawld_spark.operators.multimodal import PNG_MAGIC, decode_png
+
+        raw = bytes([0, 255, 0, 10, 1, 2, 3])  # filter byte + 2 RGB pixels
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        png = (
+            PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        w, h, c, pix = decode_png(png)
+        assert (w, h, c) == (2, 1, 3)
+        assert (pix == np.array([[[255, 0, 10], [1, 2, 3]]], dtype=np.uint8)).all()
+
+    def test_unsupported_variants_route_to_stub(self):
+        """Palette/16-bit/interlaced/garbage IDAT → ValueError → _decode_any
+        stub lane, never a task failure."""
+        import struct
+        import zlib
+
+        from crawld_spark.operators.multimodal import PNG_MAGIC, _decode_any
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        palette = (
+            PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02"))
+            + chunk(b"IEND", b"")
+        )
+        bad_idat = (
+            PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", b"not zlib at all")
+            + chunk(b"IEND", b"")
+        )
+        truncated = palette[:20]
+        for payload in (palette, bad_idat, truncated):
+            assert _decode_any(payload)[4] == "stub"
+
+    def test_decode_meta_routes_png(self, spark):
+        """Spark-side: a PNG payload flows through decode_meta with real
+        geometry (the mapInPandas plumbing, not just the pure function)."""
+        import numpy as np
+
+        from crawld_spark.operators.multimodal import decode_meta, encode_png
+
+        pix = ((np.arange(3 * 2 * 3).reshape(2, 3, 3) * 19) % 256).astype(np.uint8)
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_png(pix, filter_type=4)))],
+            "doc_id long, payload binary",
+        )
+        row = decode_meta(df, id_col="doc_id", payload_col="payload").collect()[0]
+        assert (row.width, row.height, row.channels, row.format) == (3, 2, 3, "png")
+
+    def test_wav_truncated_fmt_routes_to_stub(self):
+        """ADVICE r3 (medium): valid RIFF/WAVE magic with a fmt chunk
+        shorter than 16 bytes must hit the stub lane, not raise
+        struct.error out of the Spark task."""
+        import struct
+
+        from crawld_spark.operators.multimodal import _decode_any
+
+        fmt = struct.pack("<HH", 1, 1)  # 4 bytes only — unpack needs 16
+        data = b"\x00\x00"
+        payload = (
+            struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+            + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+            + struct.pack("<4sI", b"data", len(data)) + data
+        )
+        assert _decode_any(payload)[4] == "stub"
