@@ -208,6 +208,38 @@ def _run_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _run_bpe_scale(spark, sf_dir: str) -> dict:
+    """BPE throughput at a PRODUCTION vocab size (VERDICT r3 item 7): a
+    deterministic 50k-rank merge table shipped via sparkContext.broadcast,
+    rank-dict tokenization over the documents corpus. Reported as
+    tokens/sec — the number a training-data pipeline budget actually uses
+    (the oracle-checked 20-merge lane stays the correctness gate)."""
+    from pyspark.sql import functions as F
+
+    from crawld_spark.operators.textstats import (
+        generate_merge_table,
+        token_count_bpe_broadcast,
+    )
+
+    t0 = time.perf_counter()
+    merges = generate_merge_table(50_000)
+    gen_sec = time.perf_counter() - t0
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    udf = token_count_bpe_broadcast(spark, merges)
+    t0 = time.perf_counter()
+    row = d.select(
+        F.sum(udf(F.col("text"))).alias("tok"), F.count("*").alias("docs")
+    ).collect()[0]
+    wall = time.perf_counter() - t0
+    return {
+        "bpe50k_vocab_gen_sec": round(gen_sec, 3),
+        "bpe50k_sec": round(wall, 3),
+        "bpe50k_docs": int(row.docs),
+        "bpe50k_tokens": int(row.tok),
+        "bpe50k_tokens_per_sec": round(row.tok / wall, 1) if wall > 0 else 0.0,
+    }
+
+
 def _run_crawl(spark, tag: str) -> dict:
     """One full synthetic crawl: bootstrap + CRAWL_ROUNDS fetch rounds.
 
@@ -273,6 +305,7 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")  # "", "frontier", "crawl", "queries"
     try:
         queries = _run_queries(spark, sf_dir) if only in ("", "queries") else {}
+        bpe = _run_bpe_scale(spark, sf_dir) if only in ("", "queries") else {}
         crawl = (
             _run_crawl(spark, tag=cpus)
             if only in ("", "crawl")
@@ -295,6 +328,7 @@ def main() -> None:
             "cpus": int(cpus),
             **crawl,
             **frontier,
+            **bpe,
         }
         print(json.dumps(result))
     finally:

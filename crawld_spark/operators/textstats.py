@@ -128,6 +128,129 @@ def token_count_bpe_udf(merges: list[tuple[str, str]] | None = None):
     return _count
 
 
+def generate_merge_table(n_merges: int, seed: str = "bpe-vocab") -> list[tuple[str, str]]:
+    """Deterministic production-SIZE merge table (~n_merges ranks) for the
+    broadcast-vocab benchmark path (VERDICT r3 item 7).
+
+    Structure mirrors a trained vocab: the table is VALID (every merge's
+    two components are single characters or symbols created by an earlier
+    merge — the property that makes rank-order-to-fixpoint application
+    equivalent to iterative lowest-rank merging). The head is the embedded
+    English BPE_MERGES (so real text actually merges); the tail combines
+    existing symbols md5-deterministically — no RNG state, same table on
+    every engine and run. Linguistic fidelity of the tail is NOT the point;
+    vocab SIZE is: the bench measures rank-dict lookups, closure/broadcast
+    shipping and Arrow batching at a realistic 50k-rank scale."""
+    import hashlib
+    import string
+
+    symbols: list[str] = list(string.ascii_lowercase) + list(string.digits)
+    merges: list[tuple[str, str]] = []
+    present: set[tuple[str, str]] = set()
+    for x, y in BPE_MERGES:
+        merges.append((x, y))
+        present.add((x, y))
+        symbols.append(x + y)
+    i = 0
+    while len(merges) < n_merges:
+        d = hashlib.md5(f"{seed}:{i}".encode()).digest()
+        i += 1
+        a = symbols[int.from_bytes(d[:4], "big") % len(symbols)]
+        b = symbols[int.from_bytes(d[4:8], "big") % len(symbols)]
+        m = a + b
+        if (a, b) in present or len(m) > 16:  # bound symbol growth
+            continue
+        merges.append((a, b))
+        present.add((a, b))
+        symbols.append(m)
+    return merges
+
+
+def bpe_token_count_word_ranked(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Token count of one word by iterative LOWEST-RANK adjacent-pair
+    merging — the O(len²·lookups) algorithm every production BPE tokenizer
+    uses, equivalent to :func:`bpe_token_count_word`'s rank-order-to-
+    fixpoint semantics for any VALID merge table (each merge's components
+    predate it, so a later merge can never enable an earlier one; equality
+    is pinned by tests over the real corpus). At 50k ranks the fixpoint
+    scan would walk the whole table per word; this walks only the word."""
+    if not word:
+        return 0
+    sym = list(word)
+    while len(sym) > 1:
+        best_rank = None
+        best_pair = None
+        for j in range(len(sym) - 1):
+            r = ranks.get((sym[j], sym[j + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (sym[j], sym[j + 1])
+        if best_pair is None:
+            break
+        # merge ALL occurrences of the winning pair, left-to-right (the
+        # same greedy order as replace-all in the fixpoint twin)
+        out: list[str] = []
+        j = 0
+        while j < len(sym):
+            if j < len(sym) - 1 and (sym[j], sym[j + 1]) == best_pair:
+                out.append(sym[j] + sym[j + 1])
+                j += 2
+            else:
+                out.append(sym[j])
+                j += 1
+        sym = out
+    return len(sym)
+
+
+def token_count_bpe_broadcast(spark, merges: list[tuple[str, str]]):
+    """The production-vocab path: the merge table ships ONCE per executor
+    via ``sparkContext.broadcast`` (not per-task in the UDF closure — at
+    50k ranks the closure would be re-pickled into every task), and words
+    tokenize via the rank-dict algorithm with a per-batch word memo
+    (corpus word frequency follows Zipf, so the memo hit rate is high and
+    the memo stays deterministic). Returns a vectorized pandas UDF
+    ``text → token count`` with semantics identical to
+    :func:`token_count_bpe_udf` for the same merge table."""
+    from pyspark.sql.types import LongType
+
+    bc = spark.sparkContext.broadcast(
+        {pair: rank for rank, pair in enumerate(merges)}
+    )
+
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    # the memo outlives a single Arrow batch (python workers are reused per
+    # executor): caches only pure-function results, so it never affects
+    # determinism — Zipf word frequency makes the hit rate high. Bounded so
+    # a pathological corpus can't grow it without limit.
+    memo: dict[str, int] = {}
+
+    @F.pandas_udf(LongType())
+    def _count(texts: pd.Series) -> pd.Series:
+        ranks = bc.value
+        if len(memo) > 2_000_000:
+            memo.clear()
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(0)
+                continue
+            total = 0
+            for w in ws.split(t):
+                if not w:
+                    continue
+                n = memo.get(w)
+                if n is None:
+                    n = bpe_token_count_word_ranked(w, ranks)
+                    memo[w] = n
+                total += n
+            out.append(total)
+        return pd.Series(out, dtype="int64")
+
+    return _count
+
+
 def quality_features(text: Column) -> dict[str, Column]:
     """Length / punctuation / stopword-ratio features + a composite score
     (the usual web-corpus quality gates)."""

@@ -277,3 +277,109 @@ class TestBpeTokenCount:
         # and the segmentations differ even when counts agree
         assert bpe_token_count_word("abcc", [("a", "b"), ("b", "c")]) == 3
         assert bpe_token_count_word("abcc", [("b", "c"), ("a", "b")]) == 3
+
+
+class TestBpeBroadcastVocab:
+    """r4: the production-size broadcast-vocab BPE path — rank-dict
+    algorithm ≡ fixpoint algorithm, table validity, Spark equivalence."""
+
+    def test_rankdict_equals_fixpoint_small_table(self):
+        from crawld_spark.operators.textstats import (
+            BPE_MERGES,
+            bpe_token_count_word,
+            bpe_token_count_word_ranked,
+        )
+
+        ranks = {p: r for r, p in enumerate(BPE_MERGES)}
+        words = [
+            "the", "thee", "theatre", "and", "standing", "x", "", "zzz",
+            "aaaa", "ththth", "ingingin", "tand", "ofof", "attests",
+            "internationalization", "anand", "erer", "thethethe",
+        ]
+        for w in words:
+            assert bpe_token_count_word_ranked(w, ranks) == bpe_token_count_word(
+                w, BPE_MERGES
+            ), w
+
+    def test_rankdict_equals_fixpoint_generated_table(self):
+        """Equivalence holds on the md5-generated 2k-rank table too (it is
+        valid by construction)."""
+        from crawld_spark.operators.textstats import (
+            bpe_token_count_word,
+            bpe_token_count_word_ranked,
+            generate_merge_table,
+        )
+
+        merges = generate_merge_table(2000)
+        ranks = {p: r for r, p in enumerate(merges)}
+        words = ["the", "anomaly", "androids", "ingesting", "qqqq", "a1b2c3",
+                 "thethethe", "standardization", "0on0on", "erranderrand"]
+        for w in words:
+            assert bpe_token_count_word_ranked(w, ranks) == bpe_token_count_word(
+                w, merges
+            ), w
+
+    def test_generated_table_valid_and_deterministic(self):
+        from crawld_spark.operators.textstats import BPE_MERGES, generate_merge_table
+
+        t1 = generate_merge_table(50_000)
+        t2 = generate_merge_table(50_000)
+        assert t1 == t2 and len(t1) == 50_000
+        assert t1[: len(BPE_MERGES)] == BPE_MERGES  # real-English head kept
+        # validity: every component is a single char or an earlier symbol
+        import string
+
+        symbols = set(string.ascii_lowercase) | set(string.digits)
+        for x, y in t1:
+            assert x in symbols and y in symbols, (x, y)
+            symbols.add(x + y)
+        assert len(set(t1)) == len(t1)  # no duplicate pairs
+
+    def test_spark_broadcast_path_matches_closure_path(self, spark):
+        """Over the real documents corpus: broadcast+rankdict ≡ the
+        oracle-checked closure UDF for the same merge table."""
+        from pyspark.sql import functions as F
+
+        from crawld_spark.operators.textstats import (
+            BPE_MERGES,
+            token_count_bpe_broadcast,
+            token_count_bpe_udf,
+        )
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = d.select("doc_id", token_count_bpe_udf()(F.col("text")).alias("n"))
+        b = d.select(
+            "doc_id", token_count_bpe_broadcast(spark, BPE_MERGES)(F.col("text")).alias("n")
+        )
+        ga = {r.doc_id: r.n for r in a.collect()}
+        gb = {r.doc_id: r.n for r in b.collect()}
+        assert ga == gb and len(ga) > 0
+
+    def test_spark_50k_vocab_runs(self, spark):
+        """The 50k-rank table ships via sparkContext.broadcast and produces
+        sane, deterministic counts (≤ the 20-merge table's counts: a
+        superset vocab can only merge more)."""
+        from pyspark.sql import functions as F
+
+        from crawld_spark.operators.textstats import (
+            BPE_MERGES,
+            generate_merge_table,
+            token_count_bpe_broadcast,
+            token_count_bpe_udf,
+        )
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+        big = generate_merge_table(50_000)
+        got = {
+            r.doc_id: r.n
+            for r in d.select(
+                "doc_id", token_count_bpe_broadcast(spark, big)(F.col("text")).alias("n")
+            ).collect()
+        }
+        small = {
+            r.doc_id: r.n
+            for r in d.select(
+                "doc_id", token_count_bpe_udf(BPE_MERGES)(F.col("text")).alias("n")
+            ).collect()
+        }
+        assert got and all(0 < got[k] <= small[k] for k in got)

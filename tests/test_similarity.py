@@ -595,3 +595,70 @@ class TestPngDecoder:
             + struct.pack("<4sI", b"data", len(data)) + data
         )
         assert _decode_any(payload)[4] == "stub"
+
+
+@pytest.mark.usefixtures("spark")
+class TestSimhashBandRecall:
+    """r4 (VERDICT item 10): measured recall/precision of the 4×16-bit
+    Hamming-ball banding vs the exact all-pairs Hamming ground truth, so
+    band-layout changes are regression-guarded. The d ≤ n_bands-1
+    pigeonhole recall is a GUARANTEE (asserted exactly 1.0); wider radii
+    are measured and floor-pinned."""
+
+    def _table(self, spark, sf="/root/testdata/sf0.01"):
+        from crawld_spark.operators.dedup import simhash64_hex, simhash_band_buckets
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        sigs = {
+            r.doc_id: int(r.sim, 16)
+            for r in docs.select(
+                "doc_id", simhash64_hex(F.col("text")).alias("sim")
+            ).collect()
+        }
+        buckets = simhash_band_buckets(docs)
+        a = buckets.select(F.col("doc_id").alias("d1"), "band_id", "band_key")
+        b = buckets.select(F.col("doc_id").alias("d2"), "band_id", "band_key")
+        cand = {
+            (r.d1, r.d2)
+            for r in a.join(b, on=["band_id", "band_key"])
+            .where(F.col("d2") > F.col("d1"))
+            .select("d1", "d2")
+            .distinct()
+            .collect()
+        }
+        ids = sorted(sigs)
+        ham = {}
+        for i, x in enumerate(ids):
+            for y in ids[i + 1 :]:
+                ham[(x, y)] = bin(sigs[x] ^ sigs[y]).count("1")
+        table = {}
+        for r in (1, 2, 3, 5, 7, 10, 14):
+            truth = {p for p, d in ham.items() if d <= r}
+            if truth:
+                table[r] = (
+                    len(truth),
+                    round(len(cand & truth) / len(truth), 4),  # recall@r
+                )
+        n_within3 = sum(1 for p in cand if ham[p] <= 3)
+        precision3 = round(n_within3 / len(cand), 4) if cand else None
+        return table, precision3, len(cand), len(ham)
+
+    def test_recall_table(self, spark):
+        table, precision3, n_cand, n_pairs = self._table(spark)
+        # the pigeonhole GUARANTEE: every pair within Hamming 3 shares a band
+        for r, (n_truth, recall) in table.items():
+            if r <= 3:
+                assert recall == 1.0, (r, table)
+        # candidate set stays a vanishing fraction of all pairs (the whole
+        # point of banding: no all-pairs comparison)
+        assert n_cand < 0.05 * n_pairs, (n_cand, n_pairs)
+        # measured floors at sf0.01 (regression guard for the band layout;
+        # measured r4: recall 0.946@5, 0.607@7, 0.273@10 — floors at ~2/3
+        # of measured so noise-free layout regressions trip, data drift
+        # doesn't)
+        assert table[5][1] >= 0.6, table
+        assert table[7][1] >= 0.4, table
+        assert table[10][1] >= 0.15, table
+        # stash the numbers in the assertion context for BENCH recording
+        print(f"SIMHASH_BAND_TABLE {table} precision@3={precision3} "
+              f"cand={n_cand} pairs={n_pairs}")
