@@ -305,7 +305,12 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")  # "", "frontier", "crawl", "queries"
     try:
         queries = _run_queries(spark, sf_dir) if only in ("", "queries") else {}
-        bpe = _run_bpe_scale(spark, sf_dir) if only in ("", "queries") else {}
+        bpe = (
+            _run_bpe_scale(spark, sf_dir)
+            if only in ("", "queries")
+            and os.environ.get("SPARK_GRAFT_BENCH_BPE", "1") != "0"
+            else {}
+        )
         crawl = (
             _run_crawl(spark, tag=cpus)
             if only in ("", "crawl")
