@@ -36,6 +36,12 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "4"))
 # best-of-k waves inside each JVM: cancels cold-start and samples
 # within-JVM noise; the wave pipeline is identical each time
 WAVES = int(os.environ.get("SPARK_GRAFT_BENCH_FRONTIER_WAVES", "2"))
+# calm-window gate (--calm-pairs): only launch an engine pair while the
+# pure-JVM compute ceiling itself scales at ≥ this efficiency. When the
+# ceiling reads 0.81, demanding a raw 0.8 from the engine is demanding it
+# beat pure JVM — VERDICT r3 item 2 prescribes gating instead of arguing.
+CALM_CEIL = float(os.environ.get("SPARK_GRAFT_CALM_CEIL", "0.9"))
+CALM_SLEEP = float(os.environ.get("SPARK_GRAFT_CALM_SLEEP", "45"))
 
 
 def _ceiling_inner(cpus: int) -> float:
@@ -388,6 +394,137 @@ def pending_flatness(write: bool) -> dict:
     return res
 
 
+def _ceiling_pair() -> dict:
+    """One pinned compute-ceiling run at each level → the window's own
+    scaling efficiency. This is the calm-window gate signal."""
+    c_lo = machine_ceiling(N_LOW)
+    c_hi = machine_ceiling(N_HIGH)
+    return {
+        "ceil_sec_low": round(c_lo, 3),
+        "ceil_sec_high": round(c_hi, 3),
+        "ceil_efficiency": round((c_lo / c_hi) / (N_HIGH / N_LOW), 3),
+    }
+
+
+def calm_pairs(target: int, max_attempts: int, write: bool) -> dict:
+    """Bank raw ≥0.8 scaling pairs by gating on calm windows (VERDICT r3
+    item 2): measure the pure-JVM compute ceiling FIRST and only launch an
+    engine pair while the ceiling itself scales ≥ CALM_CEIL; re-measure the
+    ceiling after the pair and discard it if the window moved. Every attempt
+    (skipped, discarded, below-target, banked) is recorded — the point is
+    raw evidence with bracketing ceilings, not survivorship.
+
+    The post-pair ceiling doubles as the next attempt's pre-gate when
+    attempts run back-to-back (the window it measures is the same one the
+    next decision is about), halving gate overhead."""
+    import time
+
+    ratio = N_HIGH / N_LOW
+    attempts: list[dict] = []
+    banked: list[dict] = []
+    engine_runs = 0
+    pre: dict | None = None
+    for i in range(1, max_attempts + 1):
+        if pre is None:
+            pre = _ceiling_pair()
+        rec: dict = {"attempt": i, "pre": pre}
+        if pre["ceil_efficiency"] < CALM_CEIL:
+            rec["outcome"] = "skipped_noisy_window"
+            attempts.append(rec)
+            print(json.dumps(rec), file=sys.stderr, flush=True)
+            pre = None  # stale after the sleep — re-measure
+            if len(banked) < target and i < max_attempts:
+                time.sleep(CALM_SLEEP)
+            continue
+        order = "LH" if engine_runs % 2 == 0 else "HL"
+        engine_runs += 1
+        if order == "LH":
+            rl = run_level(N_LOW)
+            rh = run_level(N_HIGH)
+        else:
+            rh = run_level(N_HIGH)
+            rl = run_level(N_LOW)
+        post = _ceiling_pair()
+        thr_l, thr_h = rl["frontier_urls_per_sec"], rh["frontier_urls_per_sec"]
+        eff = (thr_h / thr_l) / ratio
+        rec.update(
+            order=order,
+            sec_low=rl["frontier_sec"],
+            sec_high=rh["frontier_sec"],
+            urls_per_sec_low=thr_l,
+            urls_per_sec_high=thr_h,
+            speedup=round(thr_h / thr_l, 3),
+            efficiency=round(eff, 3),
+            post=post,
+            eff_vs_window_ceiling=round(
+                eff / min(pre["ceil_efficiency"], post["ceil_efficiency"]), 3
+            ),
+        )
+        window_held = post["ceil_efficiency"] >= CALM_CEIL
+        if not window_held:
+            rec["outcome"] = "window_moved_discarded"
+        elif eff >= 0.8:
+            rec["outcome"] = "banked"
+            banked.append(rec)
+        else:
+            rec["outcome"] = "calm_but_below_target"
+        attempts.append(rec)
+        print(json.dumps(rec), file=sys.stderr, flush=True)
+        pre = post if window_held else None
+        if len(banked) >= target:
+            break
+    summary = {
+        "metric": "calm-window-gated raw scaling pairs (pre/post ceiling "
+        "bracketing, engine pair launched only when ceiling ≥ gate)",
+        "n_low": N_LOW,
+        "n_high": N_HIGH,
+        "raw_urls": URLS,
+        "gate_ceiling_efficiency": CALM_CEIL,
+        "target_banked": target,
+        "banked_count": len(banked),
+        "banked": [
+            {k: r[k] for k in ("attempt", "order", "sec_low", "sec_high",
+                               "speedup", "efficiency", "pre", "post")}
+            for r in banked
+        ],
+        "attempts": attempts,
+    }
+    path = os.path.join(REPO, "BENCH", "SCALING_r4_calm.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"wrote {path}", file=sys.stderr)
+    if write:
+        md = os.path.join(REPO, "BENCH", "BASELINE.md")
+        with open(md, "a") as f:
+            f.write(
+                "\n## Calm-window raw pairs (r4)\n\n"
+                "Engine pairs launched ONLY while the pure-JVM compute "
+                f"ceiling scaled ≥{CALM_CEIL} across the same {N_LOW}→"
+                f"{N_HIGH}-core step (measured immediately before each "
+                "pair), and kept only if the ceiling still held immediately "
+                "after (window bracketing). All attempts shown; 'banked' = "
+                "calm window held AND raw efficiency ≥ 0.8.\n\n"
+                "| attempt | outcome | pre-ceil eff | N wall (s) | 4N wall "
+                "(s) | raw efficiency | post-ceil eff |\n"
+                "|---|---|---|---|---|---|---|\n"
+                + "".join(
+                    "| {a} | {o} | {pc} | {sl} | {sh} | {e} | {qc} |\n".format(
+                        a=r["attempt"], o=r["outcome"],
+                        pc=r["pre"]["ceil_efficiency"],
+                        sl=r.get("sec_low", "—"), sh=r.get("sec_high", "—"),
+                        e=r.get("efficiency", "—"),
+                        qc=r.get("post", {}).get("ceil_efficiency", "—"),
+                    )
+                    for r in attempts
+                )
+                + f"\n**banked raw ≥0.8 pairs: {len(banked)}** "
+                f"(target {target})\n"
+            )
+        print(f"appended calm-pair table to {md}", file=sys.stderr)
+    return summary
+
+
 def main() -> None:
     if "--growth-inner" in sys.argv:
         n = int(sys.argv[sys.argv.index("--growth-inner") + 1])
@@ -405,6 +542,16 @@ def main() -> None:
         return
     if "--ceiling" in sys.argv:
         print(_ceiling_inner(int(sys.argv[sys.argv.index("--ceiling") + 1])))
+        return
+    if "--calm-pairs" in sys.argv:
+        idx = sys.argv.index("--calm-pairs")
+        target = (
+            int(sys.argv[idx + 1])
+            if len(sys.argv) > idx + 1 and sys.argv[idx + 1].isdigit()
+            else 3
+        )
+        max_attempts = int(os.environ.get("SPARK_GRAFT_CALM_MAX_ATTEMPTS", "12"))
+        print(json.dumps(calm_pairs(target, max_attempts, "--write" in sys.argv)))
         return
     if "--shuffle-ceiling" in sys.argv:
         print(
