@@ -59,6 +59,7 @@ HEADLINE = [
     "multimodal_decode_roundtrip",
     # --- r4 additions ---
     "png_decode_roundtrip",
+    "curation_pipeline",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

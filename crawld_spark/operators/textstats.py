@@ -32,20 +32,26 @@ def _occurrences(text: Column, needle: str) -> Column:
 
 def lang_id_guess(text: Column) -> Column:
     """Heuristic language ID: most stopword-marker hits wins; ties and
-    zero-hits → 'unknown'. (Deterministic tie-break: higher score strictly
-    required, evaluated in fixed language order.)"""
+    zero-hits → 'unknown' (deterministic tie-break: fixed language order,
+    a later language must beat the running best STRICTLY).
+
+    Implemented as ONE array_max over (score, order-pref, lang) structs —
+    not a fold of nested when()s: the fold copies every score subtree
+    2^langs times (each when() embeds the previous best twice), which blew
+    the composed curation_pipeline plan past the JVM codegen method limit
+    (whole-stage codegen fell back to interpreted — measured, r4). Here
+    each score is evaluated exactly once. The sentinel row (s=0, pref=+1,
+    'unknown') wins any all-zero tie and loses to any positive score, which
+    reproduces the fold's strict-greater-than-zero semantics exactly."""
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
-    scores = {
-        lang: sum((_occurrences(padded, m) for m in ms), F.lit(0))
-        for lang, ms in _LANG_MARKERS.items()
-    }
-    best = F.lit("unknown")
-    best_score = F.lit(0)
-    for lang in ["en", "de", "fr", "es"]:  # fixed order
-        s = scores[lang]
-        best = F.when(s > best_score, F.lit(lang)).otherwise(best)
-        best_score = F.when(s > best_score, s).otherwise(best_score)
-    return best
+    cands = [F.struct(F.lit(0).alias("s"), F.lit(1).alias("pref"),
+                      F.lit("unknown").alias("lang"))]
+    for i, lang in enumerate(["en", "de", "fr", "es"]):  # fixed order
+        s = sum((_occurrences(padded, m) for m in _LANG_MARKERS[lang]), F.lit(0))
+        cands.append(
+            F.struct(s.alias("s"), F.lit(-i).alias("pref"), F.lit(lang).alias("lang"))
+        )
+    return F.array_max(F.array(*cands)).getField("lang")
 
 
 def token_count_ws(text: Column) -> Column:

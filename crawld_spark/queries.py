@@ -1196,6 +1196,130 @@ def decontaminate(spark, sf_dir):
     )
 
 
+# end-to-end curation pipeline: the composed pass a training-data user
+# actually runs — language gate → quality gate → exact dedup → benchmark
+# decontamination → per-language stratified sample — as ONE declarative
+# Catalyst plan. The SQL twin composes the SAME proven fragments as the
+# stage-level oracles (lang_id, quality_score, dedup_exact, decontaminate,
+# stratified_sample), so a mismatch localizes to composition, not stages.
+_CURATION_SQL = r"""
+    WITH d AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, lang, text FROM documents WHERE doc_id < 50),
+    feat AS (
+      SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS p,
+             length(text) AS n_chars,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+             length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_punct
+      FROM d),
+    lid AS (
+      SELECT doc_id, lang, text, n_chars, n_tokens, n_punct,
+        CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+           + (length(p) - length(replace(p, ' and ', ''))) / 5
+           + (length(p) - length(replace(p, ' of ', ''))) / 4 AS INT) AS s_en,
+        CAST((length(p) - length(replace(p, ' der ', ''))) / 5
+           + (length(p) - length(replace(p, ' und ', ''))) / 5
+           + (length(p) - length(replace(p, ' die ', ''))) / 5 AS INT) AS s_de,
+        CAST((length(p) - length(replace(p, ' le ', ''))) / 4
+           + (length(p) - length(replace(p, ' et ', ''))) / 4
+           + (length(p) - length(replace(p, ' les ', ''))) / 5 AS INT) AS s_fr,
+        CAST((length(p) - length(replace(p, ' el ', ''))) / 4
+           + (length(p) - length(replace(p, ' y ', ''))) / 3
+           + (length(p) - length(replace(p, ' los ', ''))) / 5 AS INT) AS s_es
+      FROM feat),
+    sc AS (
+      SELECT doc_id, lang, text, n_tokens,
+        CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'unknown'
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+             WHEN s_fr >= s_es THEN 'fr'
+             ELSE 'es' END AS lang_guess,
+        round(CAST(
+            CASE WHEN n_tokens >= 10 AND n_tokens <= 10000 THEN 0.4 ELSE 0.0 END
+          + CASE WHEN (CASE WHEN n_tokens > 0 THEN (n_chars - (n_tokens - 1)) * 1.0 / n_tokens ELSE 0.0 END) >= 3
+                  AND (CASE WHEN n_tokens > 0 THEN (n_chars - (n_tokens - 1)) * 1.0 / n_tokens ELSE 0.0 END) <= 12
+                 THEN 0.3 ELSE 0.0 END
+          + CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END) < 0.2 THEN 0.2 ELSE 0.0 END
+          + CASE WHEN (CASE WHEN n_tokens > 0 THEN (s_en + s_de + s_fr + s_es) * 1.0 / n_tokens ELSE 0.0 END) > 0.01
+                 THEN 0.1 ELSE 0.0 END AS DOUBLE), 2) AS quality
+      FROM lid),
+    kept AS (SELECT * FROM sc WHERE lang_guess <> 'unknown' AND quality >= 0.95),
+    uniq AS (
+      SELECT doc_id, lang, lang_guess, quality, n_tokens, text FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM kept)
+      WHERE doc_id = keeper),
+    bsh AS (
+      SELECT DISTINCT md5(sh) AS h FROM (
+        SELECT unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(len(toks) - 2, 1)),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS sh
+        FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents WHERE doc_id < 25))),
+    cont AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, md5(unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(len(toks) - 2, 1)),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))))) AS h
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM uniq))
+      WHERE h IN (SELECT h FROM bsh)),
+    clean AS (SELECT * FROM uniq WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+    SELECT doc_id, lang, lang_guess, quality, CAST(n_tokens AS BIGINT) AS n_tokens FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM clean) WHERE rk <= 10
+"""
+
+
+@q("curation_pipeline", _CURATION_SQL)
+def curation_pipeline(spark, sf_dir):
+    """The whole training-data curation pass as one declarative plan:
+    language-ID gate -> quality gate -> exact dedup (lowest-id survivor per
+    digest) -> benchmark decontamination (3-gram shingle overlap with the
+    doc_id<25 eval set) -> deterministic per-language stratified sample.
+
+    Scale shape (100 TB corpus): the lang/quality stages are pure
+    whole-stage-codegen projections fused into the scan (filters push
+    down); dedup is ONE shuffle keyed on md5(text) (16-byte key, text
+    never travels as the shuffle key); decontamination broadcasts the
+    benchmark shingle set and anti-joins the (tiny) contaminated id set;
+    the sample is ONE shuffle on lang with a per-group window. Total: two
+    data shuffles + two broadcasts for five pipeline stages — each stage's
+    individual operator is separately oracled, this entry pins their
+    COMPOSITION (filter ordering, survivor selection, join semantics).
+    """
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "lang", "text").unionByName(
+        d.where(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "lang", "text"
+        )
+    )
+    feats = textstats.quality_features(F.col("text"))
+    scored = docs.select(
+        "doc_id", "lang", "text",
+        textstats.lang_id_guess(F.col("text")).alias("lang_guess"),
+        feats["quality"].alias("quality"),
+        feats["n_tokens"].alias("n_tokens"),
+    )
+    kept = scored.where(
+        (F.col("lang_guess") != "unknown") & (F.col("quality") >= 0.95)
+    )
+    uniq = (
+        kept.withColumn(
+            "_keeper", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        )
+        .where(F.col("doc_id") == F.col("_keeper"))
+        .drop("_keeper")
+    )
+    bench = d.where(F.col("doc_id") < 25)
+    cont = textstats.decontaminate(uniq, bench, k=3).select("doc_id")
+    clean = uniq.join(F.broadcast(cont), on="doc_id", how="left_anti")
+    return textstats.stratified_sample(
+        clean, per_group=10, group_col="lang"
+    ).select("doc_id", "lang", "lang_guess", "quality", "n_tokens")
+
+
 # =====================================================================
 # 3. engine UDFs under the oracle gate (canonicalization + extraction)
 # =====================================================================

@@ -226,3 +226,23 @@ class TestPlanShapes:
         assert "PushedFilters" in plan
         assert "EqualTo(status,pending)" in plan, plan
         assert df.count() == 990
+
+    def test_curation_pipeline_shape(self, spark):
+        """The composed curation pass must keep its scale shape: every
+        scoring/filter stage JVM-side (no Python eval anywhere in the
+        plan), the benchmark-shingle set and the contaminated-id set
+        broadcast (never shuffled against the corpus), and no shuffle
+        keyed on raw text (dedup exchanges on md5(text), 16 bytes)."""
+        from crawld_spark.queries import queries
+
+        df = queries()["curation_pipeline"](spark, SF)
+        plan = _plan(df)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+            assert marker not in plan, f"python stage {marker} in curation plan"
+        # two broadcasts: bench shingles (left-semi) + contaminated ids (anti)
+        assert plan.count("BroadcastExchange") >= 2, plan
+        # every hash exchange keys on a hash/id/lang — never the text column
+        for seg in plan.split("Exchange hashpartitioning(")[1:]:
+            key = seg.split(",")[0].strip()
+            # md5(text#N) is fine (16-byte key); bare text#N is not
+            assert not key.startswith("text#"), f"raw text as shuffle key: {key}"
