@@ -10,7 +10,11 @@ implemented in pure numpy/struct (no PIL/ffmpeg in this container):
 - **WAV** (RIFF PCM16) — ``decode_wav`` returns the exact int16 samples;
 - **PNG** (r4: non-interlaced 8-bit RGB/RGBA; stdlib zlib inflate + numpy
   per-row unfilter of all five filter types) — ``decode_png`` /
-  ``encode_png`` round-trip exact pixel values.
+  ``encode_png`` round-trip exact pixel values;
+- **PGM** (binary P5 grayscale) — ``decode_pgm`` / ``encode_pgm``;
+- **GIF** (r4: 87a/89a, full variable-width LZW with CLEAR/dictionary
+  handling, global or local palette, first frame, non-interlaced) —
+  ``decode_gif`` / ``encode_gif`` round-trip exact pixel values.
 
 ``decode_meta`` sniffs the container magic and falls back to the
 deterministic ``_fake_decode`` stub for formats the container can't decode
@@ -54,11 +58,15 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_format(b: bytes) -> str | None:
-    """Container magic → 'bmp' | 'ppm' | 'wav' | 'png' | None."""
+    """Container magic → 'bmp'|'ppm'|'pgm'|'wav'|'png'|'gif' | None."""
     if len(b) >= 2 and b[:2] == b"BM":
         return "bmp"
     if len(b) >= 2 and b[:2] == b"P6":
         return "ppm"
+    if len(b) >= 2 and b[:2] == b"P5":
+        return "pgm"
+    if len(b) >= 6 and b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
     if len(b) >= 8 and b[:8] == PNG_MAGIC:
@@ -349,6 +357,230 @@ def decode_png(b: bytes) -> tuple[int, int, int, np.ndarray]:
     return w, h, c, out.reshape(h, w, c).copy()
 
 
+# ---------------- PGM / GIF (r4): two more real web containers ----------------
+
+
+def decode_pgm(b: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Binary PGM (P5, maxval 255) → (width, height, 1, (H, W, 1) uint8) —
+    the grayscale sibling of decode_ppm, same header grammar."""
+    if b[:2] != b"P5":
+        raise ValueError("not a P5 PGM")
+    vals, i, n = [], 2, len(b)
+    while len(vals) < 3:
+        while i < n and b[i : i + 1].isspace():
+            i += 1
+        if i < n and b[i : i + 1] == b"#":
+            while i < n and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not b[j : j + 1].isspace():
+            j += 1
+        if i == j:
+            raise ValueError("truncated PGM header")
+        vals.append(int(b[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError("unsupported PGM maxval")
+    if w <= 0 or h <= 0 or w * h > (1 << 26):
+        raise ValueError("bad PGM geometry")
+    if len(b) < i + w * h:
+        raise ValueError("truncated PGM raster")
+    pix = np.frombuffer(b, dtype=np.uint8, count=w * h, offset=i)
+    return w, h, 1, pix.reshape(h, w, 1).copy()
+
+
+def encode_pgm(pixels: np.ndarray) -> bytes:
+    """(H, W, 1) or (H, W) uint8 grayscale → binary P5 PGM."""
+    if pixels.ndim == 3:
+        assert pixels.shape[2] == 1
+        pixels = pixels[:, :, 0]
+    h, w = pixels.shape
+    assert pixels.dtype == np.uint8
+    return f"P5\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF LZW (variable code width, 12-bit cap) → palette-index array.
+    Per the GIF87a spec: code width starts at min+1; CLEAR resets the
+    dictionary; width bumps when the next code would not fit, capped at 12
+    bits (the dictionary then freezes until the next CLEAR)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    # bit reader: GIF packs codes LSB-first across bytes
+    acc = nbits = pos = 0
+
+    def read_code(width: int) -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while n_out < n_pixels:
+        code = read_code(width)
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first GIF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("bad GIF LZW code")
+        if n_out + len(entry) > n_pixels:
+            entry = entry[: n_pixels - n_out]
+        out[n_out : n_out + len(entry)] = np.frombuffer(entry, dtype=np.uint8)
+        n_out += len(entry)
+        prev = entry
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+    if n_out < n_pixels:
+        raise ValueError("short GIF LZW stream")
+    return out
+
+
+def decode_gif(b: bytes) -> tuple[int, int, int, np.ndarray]:
+    """GIF87a/89a, non-interlaced, first image frame → (width, height, 3,
+    (H, W, 3) uint8) via palette lookup. Extensions (GCE, comments, app)
+    are skipped; interlaced frames and frames larger than the logical
+    screen raise ValueError → stub lane. Animation is out of scope: the
+    first frame is the document's image, matching frame_sample's contract
+    of treating video/animation sampling as a separate operator."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(b) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if len(b) < i + 3 * n:
+            raise ValueError("truncated GIF palette")
+        gct = np.frombuffer(b, dtype=np.uint8, count=3 * n, offset=i).reshape(n, 3)
+        i += 3 * n
+    while i < len(b):
+        block = b[i]
+        i += 1
+        if block == 0x21:  # extension: label + length-prefixed sub-blocks
+            i += 1
+            while i < len(b) and b[i] != 0:
+                i += b[i] + 1
+            i += 1
+            continue
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("GIF with no image block")
+        if block != 0x2C:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", b, i)
+        i += 9
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if len(b) < i + 3 * n:
+                raise ValueError("truncated GIF local palette")
+            pal = np.frombuffer(b, dtype=np.uint8, count=3 * n, offset=i).reshape(n, 3)
+            i += 3 * n
+        if pal is None:
+            raise ValueError("GIF image with no palette")
+        if w == 0 or h == 0 or (left, top) != (0, 0) or (w, h) != (sw, sh):
+            raise ValueError("partial-frame GIF unsupported")
+        if w * h > (1 << 26):
+            raise ValueError("bad GIF geometry")
+        min_code_size = b[i]
+        i += 1
+        if not (2 <= min_code_size <= 11):
+            raise ValueError("bad GIF LZW min code size")
+        chunks = []
+        while i < len(b) and b[i] != 0:
+            ln = b[i]
+            chunks.append(b[i + 1 : i + 1 + ln])
+            if len(chunks[-1]) < ln:
+                raise ValueError("truncated GIF data sub-block")
+            i += ln + 1
+        idx = _gif_lzw_decode(b"".join(chunks), min_code_size, w * h)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("GIF index out of palette range")
+        return w, h, 3, pal[idx].reshape(h, w, 3).copy()
+    raise ValueError("GIF with no image block")
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """RGB (H, W, 3) uint8 with ≤256 distinct colors → GIF87a (golden
+    helper). Uses the classic uncompressed-GIF technique: a CLEAR code
+    before every pixel code keeps the dictionary empty and the code width
+    fixed, trading size for a trivially correct encoder — the DECODER
+    under test still exercises its full dictionary/CLEAR handling."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    flat = pixels.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    n = colors.shape[0]
+    assert n <= 256, "encode_gif needs ≤256 distinct colors"
+    depth = max(2, int(np.ceil(np.log2(max(n, 2)))))
+    pal_n = 1 << depth
+    pal = np.zeros((pal_n, 3), dtype=np.uint8)
+    pal[:n] = colors
+    clear = 1 << depth
+    width = depth + 1
+    # bit writer, LSB-first
+    acc = nbits = 0
+    data = bytearray()
+    for code_pair in idx:
+        for code in (clear, int(code_pair)):
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+    acc |= (clear + 1) << nbits  # END
+    nbits += width
+    while nbits > 0:
+        data.append(acc & 0xFF)
+        acc >>= 8
+        nbits -= 8
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(depth)
+    for j in range(0, len(data), 255):
+        chunk = data[j : j + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def _decode_any(b: bytes) -> tuple[int, int, int, int, str]:
     """(n_bytes, width, height, channels, format) via the real decoders,
     falling back to the deterministic stub for unknown containers. For WAV,
@@ -367,6 +599,12 @@ def _decode_any(b: bytes) -> tuple[int, int, int, int, str]:
         if kind == "png":
             w, h, c, _ = decode_png(b)
             return len(b), w, h, c, "png"
+        if kind == "pgm":
+            w, h, c, _ = decode_pgm(b)
+            return len(b), w, h, c, "pgm"
+        if kind == "gif":
+            w, h, c, _ = decode_gif(b)
+            return len(b), w, h, c, "gif"
     except (ValueError, struct.error, IndexError):
         # malformed or unsupported variant → stub lane. struct.error covers
         # truncated fixed-layout chunks (e.g. a WAV whose fmt chunk is

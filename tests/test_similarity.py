@@ -293,12 +293,95 @@ class TestRealDecoders:
         assert (n_ch, rate) == (2, 8000)
         assert (back == samples).all()
 
+    def test_pgm_roundtrip_exact(self):
+        import numpy as np
+
+        from crawld_spark.operators.multimodal import decode_pgm, encode_pgm
+
+        pix = (np.arange(5 * 3, dtype=np.uint8).reshape(3, 5, 1) * 17) % 251
+        w, h, c, back = decode_pgm(encode_pgm(pix))
+        assert (w, h, c) == (5, 3, 1)
+        assert (back == pix).all()
+
+    def test_pgm_golden_with_comment(self):
+        import numpy as np
+
+        from crawld_spark.operators.multimodal import decode_pgm
+
+        raster = bytes([10, 20, 30, 40, 50, 60])
+        w, h, c, pix = decode_pgm(b"P5\n# c\n3 2\n255\n" + raster)
+        assert (w, h, c) == (3, 2, 1)
+        assert (pix.reshape(-1) == np.frombuffer(raster, dtype=np.uint8)).all()
+
+    def test_gif_roundtrip_exact(self):
+        import numpy as np
+
+        from crawld_spark.operators.multimodal import decode_gif, encode_gif
+
+        # 7×5, 4 distinct colors (exercises palette build + LZW clear path)
+        pal = np.array(
+            [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 13, 19]], dtype=np.uint8
+        )
+        idx = (np.arange(5 * 7).reshape(5, 7) * 3) % 4
+        pix = pal[idx]
+        w, h, c, back = decode_gif(encode_gif(pix))
+        assert (w, h, c) == (7, 5, 3)
+        assert (back == pix).all()
+
+    def test_gif_lzw_dictionary_growth_golden(self):
+        """A hand-built COMPRESSED stream (no per-pixel CLEAR) exercises
+        the dictionary-growth and KwKwK (code == next slot) paths that the
+        uncompressed encoder never emits. min_code_size=2: clear=4, end=5,
+        first dynamic slot 6; codes 8 pixels of [1,1,1,1,2,1,1,1]:
+        CLEAR, 1, 1(->6:'11'), 6(KwKwK? no: 6 exists='11'), 2, 6, END
+        decodes 1,1,11,2,11 -> [1,1,1,1,2,1,1] (7 px) + trailing 1."""
+        import numpy as np
+
+        from crawld_spark.operators.multimodal import _gif_lzw_decode
+
+        # bitstream by hand, LSB-first. width starts at 3 (min 2 + 1); the
+        # dictionary appends slots 6 ('11') and 7 while decoding the first
+        # three data codes, so after code 6 the table holds 8 entries and
+        # the width bumps to 4 bits for every following code.
+        codes = [(4, 3), (1, 3), (1, 3), (6, 3),  # CLEAR 1 1 '11'
+                 (2, 4), (6, 4), (1, 4), (5, 4)]  # 2 '11' 1 END
+        acc = nbits = 0
+        data = bytearray()
+        for code, width in codes:
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            data.append(acc & 0xFF)
+        out = _gif_lzw_decode(bytes(data), 2, 8)
+        assert (out == np.array([1, 1, 1, 1, 2, 1, 1, 1], dtype=np.uint8)).all()
+
+    def test_gif_interlaced_rejected(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from crawld_spark.operators.multimodal import decode_gif, encode_gif
+
+        pix = np.zeros((2, 2, 3), dtype=np.uint8)
+        b = bytearray(encode_gif(pix))
+        # image descriptor packed byte sits after header(13)+GCT(4*3)+1 tag
+        # + 8 geometry bytes; set the interlace bit
+        ipacked_off = 13 + 4 * 3 + 1 + 8
+        b[ipacked_off] |= 0x40
+        with _pytest.raises(ValueError, match="interlaced"):
+            decode_gif(bytes(b))
+
     def test_decode_meta_routes_formats(self, spark):
         import numpy as np
 
         from crawld_spark.operators.multimodal import (
             decode_meta,
             encode_bmp,
+            encode_gif,
+            encode_pgm,
             encode_wav,
         )
 
@@ -309,6 +392,8 @@ class TestRealDecoders:
             (2, bytearray(b"P6\n3 2\n255\n" + bytes(3 * 2 * 3))),
             (3, bytearray(wav)),
             (4, bytearray(b"\xff\xd8\xff not decodable here")),
+            (5, bytearray(encode_pgm(np.zeros((2, 3, 1), dtype=np.uint8)))),
+            (6, bytearray(encode_gif(np.zeros((2, 5, 3), dtype=np.uint8)))),
         ]
         df = spark.createDataFrame(rows, "doc_id long, payload binary")
         got = {r.doc_id: r for r in decode_meta(df).collect()}
@@ -316,6 +401,8 @@ class TestRealDecoders:
         assert (got[2].format, got[2].width, got[2].height) == ("ppm", 3, 2)
         assert (got[3].format, got[3].width, got[3].height, got[3].channels) == ("wav", 100, 16000, 1)
         assert got[4].format == "stub"  # honest fallback lane
+        assert (got[5].format, got[5].width, got[5].height, got[5].channels) == ("pgm", 3, 2, 1)
+        assert (got[6].format, got[6].width, got[6].height, got[6].channels) == ("gif", 5, 2, 3)
 
     def test_resize_bmp_real_exact_pixels(self, spark):
         import numpy as np
