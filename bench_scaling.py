@@ -37,11 +37,18 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "4"))
 # within-JVM noise; the wave pipeline is identical each time
 WAVES = int(os.environ.get("SPARK_GRAFT_BENCH_FRONTIER_WAVES", "2"))
 # calm-window gate (--calm-pairs): only launch an engine pair while the
-# pure-JVM compute ceiling itself scales at ≥ this efficiency. When the
-# ceiling reads 0.81, demanding a raw 0.8 from the engine is demanding it
-# beat pure JVM — VERDICT r3 item 2 prescribes gating instead of arguing.
+# pure-JVM ceiling itself scales at ≥ this efficiency. When the ceiling
+# reads 0.81, demanding a raw 0.8 from the engine is demanding it beat
+# pure JVM — VERDICT r3 item 2 prescribes gating instead of arguing.
+# CALM_KIND picks the control: 'shuffle' (default — the SHAPE-MATCHED
+# groupBy-dedup control) or 'compute' (hash loop). Measured r4: co-tenant
+# memory-bandwidth contention can crush the 16-thread shuffling engine to
+# ~0.5× while the compute-bound hash ceiling still reads ≥0.9 — a compute
+# gate passes windows the engine cannot possibly scale in; the shuffle
+# control degrades WITH the engine, so its calm windows are real.
 CALM_CEIL = float(os.environ.get("SPARK_GRAFT_CALM_CEIL", "0.9"))
 CALM_SLEEP = float(os.environ.get("SPARK_GRAFT_CALM_SLEEP", "45"))
+CALM_KIND = os.environ.get("SPARK_GRAFT_CALM_KIND", "shuffle")
 
 
 def _ceiling_inner(cpus: int) -> float:
@@ -395,11 +402,12 @@ def pending_flatness(write: bool) -> dict:
 
 
 def _ceiling_pair() -> dict:
-    """One pinned compute-ceiling run at each level → the window's own
-    scaling efficiency. This is the calm-window gate signal."""
-    c_lo = machine_ceiling(N_LOW)
-    c_hi = machine_ceiling(N_HIGH)
+    """One pinned ceiling run (CALM_KIND control) at each level → the
+    window's own scaling efficiency. This is the calm-window gate signal."""
+    c_lo = machine_ceiling(N_LOW, kind=CALM_KIND)
+    c_hi = machine_ceiling(N_HIGH, kind=CALM_KIND)
     return {
+        "ceil_kind": CALM_KIND,
         "ceil_sec_low": round(c_lo, 3),
         "ceil_sec_high": round(c_hi, 3),
         "ceil_efficiency": round((c_lo / c_hi) / (N_HIGH / N_LOW), 3),
@@ -476,6 +484,7 @@ def calm_pairs(target: int, max_attempts: int, write: bool) -> dict:
     summary = {
         "metric": "calm-window-gated raw scaling pairs (pre/post ceiling "
         "bracketing, engine pair launched only when ceiling ≥ gate)",
+        "gate_kind": CALM_KIND,
         "n_low": N_LOW,
         "n_high": N_HIGH,
         "raw_urls": URLS,
@@ -499,7 +508,7 @@ def calm_pairs(target: int, max_attempts: int, write: bool) -> dict:
         with open(md, "a") as f:
             f.write(
                 "\n## Calm-window raw pairs (r4)\n\n"
-                "Engine pairs launched ONLY while the pure-JVM compute "
+                f"Engine pairs launched ONLY while the pure-JVM {CALM_KIND} "
                 f"ceiling scaled ≥{CALM_CEIL} across the same {N_LOW}→"
                 f"{N_HIGH}-core step (measured immediately before each "
                 "pair), and kept only if the ceiling still held immediately "
