@@ -60,6 +60,9 @@ HEADLINE = [
     # --- r4 additions ---
     "png_decode_roundtrip",
     "curation_pipeline",
+    "quality_rules",
+    "pii_scrub",
+    "dedup_paragraphs",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

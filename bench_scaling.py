@@ -534,6 +534,54 @@ def calm_pairs(target: int, max_attempts: int, write: bool) -> dict:
     return summary
 
 
+def contention_knee(write: bool) -> dict:
+    """Map the box's parallel-scaling knee with the pure-JVM SHUFFLE control
+    (zero engine code, zero Python): run the identical job at 2/4/8/16
+    pinned cores, interleaved narrow→wide→narrow so each adjacent pair
+    shares a noise window, and report each 4× step's efficiency. This is
+    the diagnosis behind the N_LOW/N_HIGH choice for the calm-pair
+    campaign: on this guest the 2→8 step scales at the gate while the 4→16
+    step is capped well below 0.8 by host co-tenancy / memory-bandwidth
+    contention that no engine plan shape can route around (the control IS
+    the ceiling — the engine cannot scale better than zero-Python JVM
+    shuffle).
+
+    A real 4× cluster step adds 4× memory bandwidth and 4× network ports
+    with the executors; this VM adds threads against one fixed memory
+    system, so past the knee the wide level measures the host, not the
+    engine. SURVEY.md §5.2.6 maps the sandbox stand-in; this table marks
+    where the stand-in stops being faithful.
+    """
+    levels = [2, 4, 8, 16]
+    # narrow→wide→narrow: every level measured twice, back-to-back with its
+    # neighbours, so a drifting window shows up as a fwd/back mismatch
+    seq = levels + levels[-2::-1]
+    walls: dict[int, list[float]] = {n: [] for n in levels}
+    for n in seq:
+        walls[n].append(machine_ceiling(n, kind="shuffle"))
+    best = {n: min(ws) for n, ws in walls.items()}
+    steps = []
+    for lo, hi in [(2, 8), (4, 16)]:
+        steps.append({
+            "n_low": lo, "n_high": hi,
+            "sec_low": round(best[lo], 3), "sec_high": round(best[hi], 3),
+            "efficiency": round((best[lo] / best[hi]) / (hi / lo), 3),
+        })
+    res = {
+        "metric": "pure-JVM shuffle-control scaling by core count "
+                  "(contention-knee map; best of 2 interleaved passes)",
+        "walls_sec": {str(n): [round(w, 3) for w in ws]
+                      for n, ws in walls.items()},
+        "best_sec": {str(n): round(w, 3) for n, w in best.items()},
+        "four_x_steps": steps,
+    }
+    path = os.path.join(REPO, "BENCH", "KNEE_r4.json")
+    with open(path, "w") as f:
+        json.dump(res, f, indent=1)
+    print(f"wrote {path}", file=sys.stderr)
+    return res
+
+
 def main() -> None:
     if "--growth-inner" in sys.argv:
         n = int(sys.argv[sys.argv.index("--growth-inner") + 1])
@@ -568,6 +616,9 @@ def main() -> None:
                 int(sys.argv[sys.argv.index("--shuffle-ceiling") + 1])
             )
         )
+        return
+    if "--knee" in sys.argv:
+        print(json.dumps(contention_knee("--write" in sys.argv)))
         return
     # Interleaved rounds: the sandbox VM's effective multi-core throughput
     # drifts by 2-3× over minutes (host oversubscription), so a low-level

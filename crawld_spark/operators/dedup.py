@@ -383,3 +383,88 @@ def ngram_jaccard_pairs(
         )
     )
     return j.select("d1", "d2", "inter", "uni", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------
+# paragraph-level dedup (Dolma-style): exact chunk dedup ACROSS documents
+# ---------------------------------------------------------------------
+
+def paragraph_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 8,
+) -> DataFrame:
+    """Explode each document into fixed-width word chunks (the paragraph
+    stand-in for a corpus with no newline structure): one row per
+    ``(id, pos, chunk)``. All built-ins — split/slice/transform/posexplode
+    stay in whole-stage codegen; chunking is embarrassingly parallel (no
+    shuffle).
+
+    Real web pipelines split on '\\n\\n' (Dolma's paragraph dedup); the
+    fixed-width variant keeps the exact same downstream plan while staying
+    deterministic on the synthetic word-stream corpus.
+    """
+    ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    n_chunks = F.ceil(F.size(ws) / F.lit(float(chunk_words))).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    chunks = F.transform(
+        idx, lambda i: F.array_join(F.slice(ws, i * chunk_words + 1, chunk_words), " ")
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 8,
+) -> DataFrame:
+    """Corpus-wide exact paragraph dedup, keep-first: a chunk survives only
+    in the document where it first appears (lowest ``(doc_id, pos)``), all
+    later occurrences are dropped; each document is reassembled from its
+    surviving chunks in order. Returns
+    ``(id_col, n_chunks, n_kept, clean_md5)`` where ``clean_md5`` is the
+    md5 of the reassembled text ('' when every chunk was boilerplate).
+
+    Scale shape (10^10 docs): the keep-first rule is a
+    ``groupBy(md5(chunk)).agg(min(struct(id, pos)))`` + equi-join back —
+    NOT a window. Site boilerplate makes chunk-frequency follow a power
+    law (one nav-bar chunk can appear in billions of docs); a window
+    partitioned by chunk hash puts all of them in ONE task (unsplittable →
+    straggler/OOM), while the aggregate collapses duplicates map-side
+    (partial min per input partition) and the join is AQE-skew-splittable.
+    Shuffle keys are 32-byte digests; chunk text rides only the join probe
+    side. Reassembly groups by doc id — bounded by document size.
+    """
+    ch = paragraph_chunks(docs, id_col, text_col, chunk_words).withColumn(
+        "h", F.md5("chunk")
+    )
+    first = ch.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("f")
+    )
+    marked = ch.join(first, "h").withColumn(
+        "kept", (F.col(id_col) == F.col("f.i")) & (F.col("pos") == F.col("f.p"))
+    )
+    return marked.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept"),
+                                F.struct(F.col("pos").alias("p"), F.col("chunk").alias("c")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("c"),
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )

@@ -361,3 +361,77 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+# ---------------------------------------------------------------------
+# repetition quality rules (Gopher/C4-style) and PII scrubbing
+# ---------------------------------------------------------------------
+
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Within-document repetition signals (the Gopher repetition-removal
+    family: fraction of duplicate words, most-frequent-word share,
+    most-frequent-2-gram share) + the composite keep/drop gate.
+
+    All pure per-row array expressions (split/filter/transform/array_max —
+    whole-stage codegen, zero shuffle, embarrassingly parallel scan), which
+    is the 100 TB shape: repetition is a per-document property, so the
+    corpus-wide pass is a single mapper. The per-row cost is
+    O(distinct_words × words); web documents are length-capped upstream
+    (quality_features' n_tokens gate), so the quadratic term is bounded —
+    for uncapped corpora switch to the explode + groupBy(doc, word) twin,
+    which trades a shuffle for linear per-row work.
+    """
+    ws = F.filter(F.split(text, " "), lambda x: x != F.lit(""))
+    n = F.size(ws)
+    uniq = F.array_distinct(ws)
+    dup_word_frac = F.round(F.lit(1.0) - F.size(uniq) / n, 6)
+    top_word = F.array_max(
+        F.transform(uniq, lambda u: F.size(F.filter(ws, lambda x: x == u)))
+    )
+    top_word_frac = F.round(top_word / n, 6)
+    bg = F.zip_with(
+        F.slice(ws, 1, n - 1),
+        F.slice(ws, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    ubg = F.array_distinct(bg)
+    top_bg = F.array_max(
+        F.transform(ubg, lambda u: F.size(F.filter(bg, lambda x: x == u)))
+    )
+    top_2gram_frac = F.round(top_bg / F.size(bg), 6)
+    keep = (
+        (dup_word_frac <= F.lit(0.6))
+        & (top_word_frac <= F.lit(0.2))
+        & n.between(10, 10000)
+    )
+    return {
+        "n_words": n.cast("long"),
+        "dup_word_frac": dup_word_frac,
+        "top_word_frac": top_word_frac,
+        "top_2gram_frac": top_2gram_frac,
+        "keep": keep,
+    }
+
+
+# PII patterns kept to the Java-regex ∩ RE2 common subset (character
+# classes + bounded repeats, no lookaround) so the DuckDB oracle matches
+# byte-for-byte.
+PII_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+PII_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def pii_scrub(text: Column) -> dict[str, Column]:
+    """Redact email addresses and phone numbers with typed placeholders and
+    count the redactions — the standard pre-training PII pass. JVM-side
+    regexp_replace/regexp_extract_all only (no UDF): one projection, zero
+    shuffle, scales as a pure mapper at any corpus size."""
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_RE), F.lit(0)))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return {
+        "n_emails": n_emails.cast("long"),
+        "n_phones": n_phones.cast("long"),
+        "scrubbed": scrubbed,
+    }

@@ -1320,6 +1320,139 @@ def curation_pipeline(spark, sf_dir):
     ).select("doc_id", "lang", "lang_guess", "quality", "n_tokens")
 
 
+@q(
+    "quality_rules",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), g AS (
+      SELECT doc_id, len(ws) AS n_words,
+        round(1.0 - len(list_distinct(ws)) * 1.0 / len(ws), 6) AS dup_word_frac,
+        round(list_max(list_transform(list_distinct(ws),
+              u -> len(list_filter(ws, x -> x = u)))) * 1.0 / len(ws), 6)
+          AS top_word_frac,
+        list_transform(generate_series(1, len(ws) - 1),
+              i -> ws[i] || ' ' || ws[i+1]) AS bg
+      FROM w
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, dup_word_frac,
+      top_word_frac,
+      round(list_max(list_transform(list_distinct(bg),
+            u -> len(list_filter(bg, x -> x = u)))) * 1.0 / len(bg), 6)
+        AS top_2gram_frac,
+      (dup_word_frac <= 0.6 AND top_word_frac <= 0.2
+       AND n_words BETWEEN 10 AND 10000) AS keep
+    FROM g
+    """,
+)
+def quality_rules(spark, sf_dir):
+    """Gopher/C4-style repetition gates (textstats.repetition_features):
+    duplicate-word fraction, top-word share, top-2-gram share, composite
+    keep — one shuffle-free whole-stage-codegen projection."""
+    feats = textstats.repetition_features(F.col("text"))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", *[c.alias(k) for k, c in feats.items()]
+    )
+
+
+# The synthetic corpus carries no PII, so the query *injects* a
+# deterministic email + phone per document (pure concat, identical on both
+# engines) and then scrubs it — the oracle checks detection counts AND the
+# redacted text byte-for-byte (via md5).
+_PII_INJECT_SQL = (
+    "text || ' contact user' || doc_id || '@mail' || (doc_id % 7) || "
+    "'.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+    "|| ' now'"
+)
+
+@q(
+    "pii_scrub",
+    f"""
+    WITH i AS (SELECT doc_id, {_PII_INJECT_SQL} AS t FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t, '{textstats.PII_EMAIL_RE}')) AS BIGINT)
+        AS n_emails,
+      CAST(len(regexp_extract_all(t, '\\+1-555-[0-9]{{4}}')) AS BIGINT)
+        AS n_phones,
+      md5(regexp_replace(regexp_replace(t, '{textstats.PII_EMAIL_RE}',
+          '<EMAIL>', 'g'), '\\+1-555-[0-9]{{4}}', '<PHONE>', 'g'))
+        AS scrub_md5
+    FROM i
+    """,
+)
+def pii_scrub(spark, sf_dir):
+    """PII redaction pass (textstats.pii_scrub): typed placeholder
+    substitution + redaction counts, JVM regexp only — a pure mapper."""
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" now"),
+    )
+    s = textstats.pii_scrub(injected)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        s["n_emails"].alias("n_emails"),
+        s["n_phones"].alias("n_phones"),
+        F.md5(s["scrubbed"]).alias("scrub_md5"),
+    )
+
+
+# Paragraph dedup needs cross-document duplicate paragraphs, which the
+# random-word corpus lacks — so the query prepends a per-source boilerplate
+# chunk (the 'same nav-bar on every page of a site' reality), identically
+# on both engines, then dedups chunks corpus-wide keep-first.
+_PARA_BOILER_SQL = (
+    "'promo ' || source || ' official portal best content visit our site "
+    "today ' || text"
+)
+
+@q(
+    "dedup_paragraphs",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+        list_filter(string_split({_PARA_BOILER_SQL}, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), c AS (
+      SELECT doc_id, i AS pos,
+        array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS chunk
+      FROM w, unnest(generate_series(0, CAST(ceil(len(ws)/8.0) AS INT) - 1))
+             AS t(i)
+    ), r AS (
+      SELECT doc_id, pos, chunk,
+        row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, pos) AS rn
+      FROM c
+    )
+    SELECT doc_id,
+      count(*) AS n_chunks,
+      count(*) FILTER (WHERE rn = 1) AS n_kept,
+      md5(coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
+                   '')) AS clean_md5
+    FROM r GROUP BY doc_id
+    """,
+)
+def dedup_paragraphs(spark, sf_dir):
+    """Dolma-style corpus-wide paragraph dedup (dedup.paragraph_dedup):
+    keep-first exact chunk dedup + per-document reassembly. The oracle's
+    window formulation is semantically identical to the engine's
+    skew-immune groupBy(min-struct)+join shape (see the operator
+    docstring for why the engine never windows by chunk hash)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("promo "), F.col("source"),
+            F.lit(" official portal best content visit our site today "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return dedup.paragraph_dedup(docs, chunk_words=8)
+
+
 # =====================================================================
 # 3. engine UDFs under the oracle gate (canonicalization + extraction)
 # =====================================================================

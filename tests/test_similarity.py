@@ -749,3 +749,62 @@ class TestSimhashBandRecall:
         # stash the numbers in the assertion context for BENCH recording
         print(f"SIMHASH_BAND_TABLE {table} precision@3={precision3} "
               f"cand={n_cand} pairs={n_pairs}")
+
+
+class TestParagraphDedup:
+    """dedup.paragraph_dedup: corpus-wide keep-first chunk dedup +
+    per-document reassembly (oracled end-to-end in test_queries_oracle via
+    the dedup_paragraphs lane; these pin the operator's own semantics and
+    its skew-immune plan shape)."""
+
+    def _docs(self, spark):
+        # 8-word boilerplate chunk shared by all three docs; unique tails
+        boiler = "promo acme official portal best content visit our"
+        rows = [
+            (2, boiler + " red green blue cyan magenta yellow black white"),
+            (1, boiler + " one two three four five six seven eight"),
+            (3, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_keep_first_semantics(self, spark):
+        from crawld_spark.operators.dedup import paragraph_dedup
+
+        got = {
+            r.doc_id: r
+            for r in paragraph_dedup(self._docs(spark), chunk_words=8).collect()
+        }
+        # every doc = 2 chunks (boilerplate + tail); the boilerplate chunk
+        # survives only in doc 1 (lowest (doc_id, pos))
+        assert {d: (g.n_chunks, g.n_kept) for d, g in got.items()} == {
+            1: (2, 2), 2: (2, 1), 3: (2, 1),
+        }
+
+    def test_reassembly_bytes(self, spark):
+        import hashlib
+
+        from crawld_spark.operators.dedup import paragraph_dedup
+
+        got = {
+            r.doc_id: r.clean_md5
+            for r in paragraph_dedup(self._docs(spark), chunk_words=8).collect()
+        }
+        boiler = "promo acme official portal best content visit our"
+        md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+        assert got[1] == md5(boiler + " one two three four five six seven eight")
+        # later docs keep only their unique tail chunk
+        assert got[2] == md5("red green blue cyan magenta yellow black white")
+        assert got[3] == md5("alpha beta gamma delta epsilon zeta eta theta")
+
+    def test_no_window_in_plan(self, spark):
+        """The keep-first rule must be groupBy(min-struct)+join, never a
+        window partitioned by chunk hash: a boilerplate chunk shared by
+        billions of docs would be ONE unsplittable window partition at
+        corpus scale (operator docstring)."""
+        from crawld_spark.operators.dedup import paragraph_dedup
+
+        plan = paragraph_dedup(self._docs(spark))._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan
+        # and the keep-first aggregate runs partial (map-side) before its
+        # exchange: 'partial_min' appears below the shuffle in the plan
+        assert "partial_min" in plan or "partial" in plan.lower(), plan
