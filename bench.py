@@ -63,6 +63,8 @@ HEADLINE = [
     "quality_rules",
     "pii_scrub",
     "dedup_paragraphs",
+    "lm_familiarity",
+    "host_blocklist",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

@@ -435,3 +435,86 @@ def pii_scrub(text: Column) -> dict[str, Column]:
         "n_phones": n_phones.cast("long"),
         "scrubbed": scrubbed,
     }
+
+
+# ---------------------------------------------------------------------
+# corpus-trained bigram LM familiarity (CCNet-style quality signal)
+# ---------------------------------------------------------------------
+
+def bigram_rows(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per ``(id, bigram)`` occurrence — the token stream the LM
+    trains on AND scores. Pure codegen array expressions (split/slice/
+    zip_with) + one explode; no shuffle."""
+    ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    n = F.size(ws)
+    bg = F.zip_with(
+        F.slice(ws, 1, n - 1),
+        F.slice(ws, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return docs.select(F.col(id_col), F.explode(bg).alias("bg"))
+
+
+def lm_bigram_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Score each document by the mean conditional log-probability of its
+    word bigrams under a bigram LM trained on the corpus itself — the
+    CCNet/KenLM-style "familiarity" gate (low score = atypical/garbled
+    text, the standard perplexity-bucket quality split), self-trained so
+    the lane is closed-world and deterministic.
+
+    Returns ``(id_col, n_bigrams, sum_qlp, lm_score)`` where per-bigram
+    ``log P(w2|w1) = ln(count(w1 w2)/count(w1 ·))`` is quantized to an
+    int64 (``floor(lp * 1e6)``) at the *bigram-type* level, so every
+    per-document aggregate is an INTEGER sum — order-independent, hence
+    byte-stable across engines and shuffle schedules (sums of raw doubles
+    are not). ``lm_score = sum_qlp / n_bigrams / 1e6`` ≈ mean log-prob.
+
+    Scale shape (100 TB corpus): training is two map-side-combinable
+    groupBys over (bigram) and (first word) — count shuffles carry only
+    the token key + a long. The type-level model table (corpus-unique
+    bigrams, vocab-bounded) joins the occurrence stream on the bigram
+    equi-key: Catalyst broadcasts it when small, AQE handles hot-bigram
+    skew ("of the") otherwise; the final per-doc aggregate partials
+    map-side. No window, no driver collect, text never shuffles (only
+    bigram strings and longs travel).
+    """
+    ex = bigram_rows(docs, id_col, text_col)
+    cb = ex.groupBy("bg").agg(F.count("*").alias("cb"))
+    cw = (
+        ex.select(F.split(F.col("bg"), " ")[0].alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("cw"))
+    )
+    model = (
+        cb.withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .join(cw, "w1")
+        .select(
+            "bg",
+            F.floor(
+                F.log(F.col("cb").cast("double") / F.col("cw").cast("double"))
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("qlp"),
+        )
+    )
+    return (
+        ex.join(model, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("qlp").alias("sum_qlp"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "sum_qlp",
+            F.round(
+                F.col("sum_qlp") / F.col("n_bigrams") / F.lit(1000000.0), 6
+            ).alias("lm_score"),
+        )
+    )

@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 
 from crawld_spark.functions.extract import extract_links, extract_text, wrap_html
 from crawld_spark.functions.url import canonicalize_url
-from crawld_spark.operators import dedup, similarity, textstats
+from crawld_spark.operators import dedup, similarity, textstats, urlfilter
 from crawld_spark.operators.multimodal import decode_meta_stub, frame_sample_stub
 
 TABLES = (
@@ -1451,6 +1451,83 @@ def dedup_paragraphs(spark, sf_dir):
         ).alias("text"),
     )
     return dedup.paragraph_dedup(docs, chunk_words=8)
+
+
+@q(
+    "lm_familiarity",
+    """
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), b AS (
+      SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS bg
+      FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+    ), cb AS (
+      SELECT bg, any_value(w1) AS w1, count(*) AS cb FROM b GROUP BY bg
+    ), cw AS (
+      SELECT w1, count(*) AS cw FROM b GROUP BY w1
+    ), m AS (
+      SELECT bg, CAST(floor(ln(cb * 1.0 / cw) * 1000000.0) AS BIGINT) AS qlp
+      FROM cb JOIN cw USING (w1)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(qlp) AS BIGINT) AS sum_qlp,
+           round(CAST(sum(qlp) AS BIGINT) * 1.0 / count(*) / 1000000.0, 6)
+             AS lm_score
+    FROM b JOIN m USING (bg)
+    GROUP BY doc_id
+    """,
+)
+def lm_familiarity(spark, sf_dir):
+    """CCNet-style corpus-self-trained bigram LM familiarity
+    (textstats.lm_bigram_scores): per-doc mean conditional log-prob,
+    integer-quantized at the bigram-type level so cross-engine sums are
+    order-independent. The perplexity-bucket quality split standard in
+    web-corpus curation, closed-world on the documents table."""
+    return textstats.lm_bigram_scores(_t(spark, sf_dir, "documents"))
+
+
+# The corpus has no host column, so the lane synthesizes a 4-label host per
+# document (identically on both engines) and marks it against a small
+# deterministic blocklist with UT1 suffix semantics.
+_HOST_SYNTH_SQL = (
+    "'sub' || (doc_id % 5) || '.site' || (doc_id % 11) || '.example.com'"
+)
+_BLOCKLIST = ["site3.example.com", "sub2.site7.example.com", "spam.example.org"]
+
+@q(
+    "host_blocklist",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_HOST_SYNTH_SQL} AS host FROM documents
+    ), bl(entry) AS (
+      VALUES {", ".join(f"('{e}')" for e in _BLOCKLIST)}
+    )
+    SELECT doc_id, host,
+      EXISTS (SELECT 1 FROM bl
+              WHERE host = entry OR ends_with(host, '.' || entry)) AS blocked
+    FROM d
+    """,
+)
+def host_blocklist(spark, sf_dir):
+    """UT1-style domain-blocklist marking (urlfilter.blocklist_mark): a
+    listed domain blocks itself and every subdomain. Engine shape: K
+    chained BroadcastHashJoins (one per label depth) — zero corpus
+    shuffle, no row explosion, no O(rows x entries) nested loop (see the
+    operator's module docstring); the oracle states the same suffix
+    semantics declaratively."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("sub"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".site"), (F.col("doc_id") % 11).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+    )
+    bl = spark.createDataFrame([(e,) for e in _BLOCKLIST], "entry string")
+    return urlfilter.blocklist_mark(d, bl, max_labels=4).select(
+        "doc_id", "host", "blocked"
+    )
 
 
 # =====================================================================

@@ -203,3 +203,37 @@ def politeness_decisions_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------- streaming exact content dedup ----------
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    digest_col: str = "digest",
+    ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact content dedup: the first document carrying a given
+    digest is emitted, duplicates arriving within the watermark horizon are
+    dropped.
+
+    On a stream this is ``dropDuplicatesWithinWatermark`` — state is one
+    entry per distinct digest, EVICTED once the event-time watermark passes
+    its expiry. A plain streaming ``dropDuplicates`` never evicts, which
+    cannot run on an endless crawl firehose; the horizon trade (a duplicate
+    that re-surfaces after eviction re-emits) is closed by the corpus-wide
+    BATCH passes downstream (``exact_dedup`` / ``paragraph_dedup``) — the
+    standard streaming-prefilter + batch-sweep curation split, and exactly
+    the crawl engine's own split between the in-round seen probe and the
+    warehouse-wide frontier dedup.
+
+    Scale: one shuffle keyed by the 16-byte digest; the payload travels
+    once; state is digest + timestamp per UNIQUE doc inside the horizon
+    (bounded by ingest rate × horizon, not corpus size). On a batch frame:
+    plain ``dropDuplicates`` (same keep-one contract, corpus-wide).
+    """
+    if docs.isStreaming:
+        return docs.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+            [digest_col]
+        )
+    return docs.dropDuplicates([digest_col])

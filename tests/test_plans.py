@@ -246,3 +246,62 @@ class TestPlanShapes:
             key = seg.split(",")[0].strip()
             # md5(text#N) is fine (16-byte key); bare text#N is not
             assert not key.startswith("text#"), f"raw text as shuffle key: {key}"
+
+
+@pytest.mark.usefixtures("spark")
+class TestWebtextPlanShapes:
+    """r4 webtext lanes: the blocklist probe must stay K broadcast hash
+    joins with zero corpus shuffle, and the LM lane's per-doc aggregate
+    must partial map-side."""
+
+    def test_blocklist_is_broadcast_probes_no_shuffle(self, spark):
+        from crawld_spark.operators.urlfilter import blocklist_mark
+
+        docs = spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("s"), (F.col("id") % 7).cast("string"),
+                     F.lit(".d"), (F.col("id") % 3).cast("string"),
+                     F.lit(".example.com")).alias("host"),
+        )
+        bl = spark.createDataFrame(
+            [("d1.example.com",), ("s2.d2.example.com",)], "entry string"
+        )
+        plan = _plan(blocklist_mark(docs, bl, max_labels=4))
+        assert plan.count("BroadcastHashJoin") == 4, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        # the only shuffles are the blocklist's own distinct() (tiny side,
+        # keyed _bl_entry): the corpus side must never exchange
+        import re
+        corpus_exchanges = [
+            ln for ln in plan.splitlines()
+            if re.search(r"\bExchange\b", ln)
+            and "Broadcast" not in ln and "_bl_entry" not in ln
+        ]
+        assert not corpus_exchanges, corpus_exchanges
+
+    def test_blocklist_suffix_semantics(self, spark):
+        from crawld_spark.operators.urlfilter import blocklist_filter, blocklist_mark
+
+        docs = spark.createDataFrame(
+            [(1, "a.bad.com"), (2, "bad.com"), (3, "notbad.com"),
+             (4, "deep.a.bad.com"), (5, "good.org")],
+            "doc_id long, host string",
+        )
+        bl = spark.createDataFrame([("bad.com",)], "entry string")
+        got = {r.doc_id: r.blocked for r in blocklist_mark(docs, bl).collect()}
+        # suffix match at dot boundaries only: 'notbad.com' survives
+        assert got == {1: True, 2: True, 3: False, 4: True, 5: False}
+        kept = {r.doc_id for r in blocklist_filter(docs, bl).collect()}
+        assert kept == {3, 5}
+
+    def test_lm_scores_partial_agg_no_window(self, spark):
+        from crawld_spark.operators.textstats import lm_bigram_scores
+
+        docs = spark.createDataFrame(
+            [(1, "the cat sat on the mat"), (2, "the cat ran")],
+            "doc_id long, text string",
+        )
+        plan = _plan(lm_bigram_scores(docs))
+        assert "Window" not in plan, plan
+        # counts and the per-doc sum must combine map-side
+        assert "partial_count" in plan or "partial" in plan.lower(), plan

@@ -211,3 +211,105 @@ class TestStatefulPoliteness:
             for r in spark.sql("SELECT * FROM polite_state").collect()
         )
         assert got == want
+
+
+@pytest.mark.usefixtures("spark")
+class TestStreamingExactDedup:
+    """streaming_exact_dedup: keep-one per digest across micro-batches,
+    batch parity on the digest set, and watermark EVICTION (the property
+    that makes it runnable on an endless stream: a dup after the horizon
+    re-emits, a dup inside it does not)."""
+
+    DOC_SCHEMA = "ts timestamp, digest string, url string"
+
+    def _write_docs(self, spark, path, rows, mtime=None):
+        df = spark.createDataFrame(
+            list(rows), "ts string, digest string, url string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        if mtime is not None:
+            for f in os.listdir(path):
+                os.utime(os.path.join(path, f), (mtime, mtime))
+
+    def test_dedup_and_batch_parity(self, spark, tmp_path):
+        from crawld_spark.streaming.metrics_stream import streaming_exact_dedup
+
+        src = str(tmp_path / "docs1")
+        rows = [
+            ("2026-01-01 10:00:00", "dA", "u1"),
+            ("2026-01-01 10:00:05", "dA", "u2"),
+            ("2026-01-01 10:00:07", "dB", "u3"),
+            ("2026-01-01 10:00:09", "dB", "u4"),
+            ("2026-01-01 10:00:11", "dC", "u5"),
+        ]
+        self._write_docs(spark, src, rows)
+        stream = spark.readStream.schema(self.DOC_SCHEMA).parquet(src)
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.format("memory")
+            .queryName("dedup1")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck1"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        got = spark.sql("SELECT digest FROM dedup1").collect()
+        assert sorted(r.digest for r in got) == ["dA", "dB", "dC"]
+        # batch twin: same digest set, one row each
+        batch = streaming_exact_dedup(spark.read.parquet(src))
+        assert sorted(r.digest for r in batch.select("digest").collect()) == [
+            "dA", "dB", "dC",
+        ]
+
+    def test_watermark_bounds_state(self, spark, tmp_path):
+        """Forced micro-batches: dup inside the horizon drops; after the
+        watermark passes dA's expiry its state is EVICTED (end of the batch
+        whose start-watermark exceeds the expiry), so a dA arriving in a
+        later batch emits again — the bounded-state property."""
+        from crawld_spark.streaming.metrics_stream import streaming_exact_dedup
+
+        src = str(tmp_path / "docs2")
+        os.makedirs(src, exist_ok=True)
+        now = time.time()
+        self._write_docs(
+            spark, f"{src}/f1",
+            [("2026-01-01 10:00:00", "dA", "u1"),
+             ("2026-01-01 10:00:05", "dA", "u2")],
+            mtime=now - 180,
+        )
+        # advances watermark to 11:00 - 10min = 10:50 > dA expiry 10:10
+        self._write_docs(
+            spark, f"{src}/f2",
+            [("2026-01-01 11:00:00", "dB", "u3")],
+            mtime=now - 120,
+        )
+        # eviction of dA happens at the END of this batch (start-wm 10:50)
+        self._write_docs(
+            spark, f"{src}/f3",
+            [("2026-01-01 11:00:05", "dC", "u4")],
+            mtime=now - 60,
+        )
+        self._write_docs(
+            spark, f"{src}/f4",
+            [("2026-01-01 11:00:10", "dA", "u6")],
+            mtime=now,
+        )
+        stream = (
+            spark.readStream.schema(self.DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = (
+            streaming_exact_dedup(stream, watermark_delay="10 minutes")
+            .writeStream.format("memory")
+            .queryName("dedup2")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        urls = sorted(r.url for r in spark.sql("SELECT url FROM dedup2").collect())
+        # u2 (in-horizon dup) dropped; u6 (post-eviction dup) re-emits
+        assert urls == ["u1", "u3", "u4", "u6"], urls
