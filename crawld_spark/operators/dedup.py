@@ -468,3 +468,76 @@ def paragraph_dedup(
             )
         ).alias("clean_md5"),
     )
+
+
+# ---------------------------------------------------------------------
+# ExactSubstr-style duplicated-span detection (Lee et al. 2022, relational)
+# ---------------------------------------------------------------------
+
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection ("Deduplicating Training
+    Data Makes Language Models Better", Lee et al. 2022), relational form:
+    a k-gram (k consecutive words, stride 1) whose exact text occurs at
+    more than one position CORPUS-WIDE marks all its occurrences, and a
+    word is *covered* when it lies inside any marked k-gram. Returns
+    ``(id_col, n_words, n_kgrams, n_dup_kgrams, n_covered_words,
+    covered_frac)`` — the span-cut decision per document.
+
+    The paper builds one suffix array over the concatenated corpus; the
+    distributed-relational equivalent trades that for hash aggregation:
+    sliding k-gram hashes (one row per token, ~corpus token count — the
+    same O(N) the suffix array indexes) → ``groupBy(hash) HAVING count>1``
+    (map-side partial collapses the power-law hot k-grams exactly like
+    paragraph_dedup's boilerplate argument) → semi-join back → per-doc
+    interval union via exploded word indices and ``count_distinct``.
+    Shuffle keys are 32-hex digests and (id, int) pairs; document text
+    never shuffles. No window, no driver state.
+    """
+    ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    n = F.size(ws)
+    # guard: F.sequence(0, n-k) DESCENDS when n < k (Spark default step -1)
+    kg = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.md5(F.array_join(F.slice(ws, i + 1, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(
+        F.col(id_col), n.cast("long").alias("n_words"), kg.alias("_kg")
+    )
+    occ = base.select(id_col, F.posexplode("_kg").alias("pos", "h"))
+    dup = occ.groupBy("h").count().where(F.col("count") > 1).select("h")
+    marked = occ.join(dup, "h", "left_semi")
+    per_doc = (
+        marked.select(
+            id_col,
+            F.col("pos"),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("wi"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct("pos").alias("n_dup_kgrams"),
+            F.count_distinct("wi").alias("n_covered_words"),
+        )
+    )
+    return (
+        base.select(id_col, "n_words", F.size("_kg").cast("long").alias("n_kgrams"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            "n_kgrams",
+            F.coalesce("n_dup_kgrams", F.lit(0)).cast("long").alias("n_dup_kgrams"),
+            F.coalesce("n_covered_words", F.lit(0)).cast("long").alias("n_covered_words"),
+            F.round(
+                F.coalesce("n_covered_words", F.lit(0)) / F.greatest("n_words", F.lit(1)),
+                6,
+            ).alias("covered_frac"),
+        )
+    )

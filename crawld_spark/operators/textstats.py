@@ -518,3 +518,54 @@ def lm_bigram_scores(
             ).alias("lm_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# feature-hashing linear quality classifier (fastText/VW-style inference)
+# ---------------------------------------------------------------------
+
+def hashed_classifier_features(
+    text: Column, n_buckets: int = 4096, w_mod: int = 4001
+) -> dict[str, Column]:
+    """Model-based quality filtering as a pure mapper: tokens → hashed
+    feature buckets (``md5`` first 8 hex digits mod ``n_buckets`` — the
+    vocabulary-free feature-hashing trick, identical in any engine) → one
+    weight per bucket → mean weight as the document score, ``keep`` =
+    score > 0. This is the inference shape of the fastText/logreg quality
+    classifiers used to filter web corpora (GPT-3/LLaMA-style "looks like
+    reference text" gates).
+
+    The weight vector here is a closed-form function of the bucket id
+    (``(b*2654435761) % w_mod`` centered — a deterministic stand-in, so the
+    DuckDB oracle can replay it); a *trained* vector drops in as either
+    ``F.element_at(F.lit(weights), bucket+1)`` (plan-embedded, fine to
+    ~1M floats) or a Pandas UDF over a ``sparkContext.broadcast`` numpy
+    array for bigger models — the hashing, lookup and mean stay the same.
+
+    Scale: per-row array expressions only (split/transform/aggregate in
+    whole-stage codegen) — zero shuffle, zero Python, embarrassingly
+    parallel at any corpus size; the integer score sum keeps cross-engine
+    aggregation order-independent.
+    """
+    half = (w_mod - 1) // 2
+    ws = F.filter(F.split(text, " "), lambda x: x != F.lit(""))
+    weights = F.transform(
+        ws,
+        lambda w: (
+            (F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long") % n_buckets)
+            * F.lit(2654435761)
+        )
+        % F.lit(w_mod)
+        - F.lit(half),
+    )
+    n = F.size(ws)
+    ssum = F.aggregate(
+        weights, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    score = F.round(ssum / F.greatest(n, F.lit(1)), 6)
+    return {
+        "n_tokens": n.cast("long"),
+        "score_sum": ssum,
+        "clf_score": score,
+        "keep": score > 0,
+    }

@@ -1530,6 +1530,89 @@ def host_blocklist(spark, sf_dir):
     )
 
 
+# ExactSubstr-style duplicated spans need corpus-wide repeated 5-grams,
+# which the random-word corpus lacks — reuse dedup_paragraphs' boilerplate
+# injection (the shared nav-bar prefix every page of a site carries).
+@q(
+    "dedup_spans",
+    f"""
+    WITH i AS (
+      SELECT doc_id, {_PARA_BOILER_SQL} AS text FROM documents
+    ), w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM i
+    ), o AS (
+      SELECT doc_id, i - 1 AS pos, md5(array_to_string(ws[i:i+4], ' ')) AS h
+      FROM w, unnest(generate_series(1, len(ws) - 4)) AS t(i)
+      WHERE len(ws) >= 5
+    ), d AS (SELECT h FROM o GROUP BY h HAVING count(*) > 1),
+    m AS (SELECT o.doc_id, o.pos FROM o JOIN d USING (h)),
+    cov AS (
+      SELECT doc_id, count(DISTINCT pos) AS n_dup_kgrams,
+             count(DISTINCT wi) AS n_covered_words
+      FROM m, unnest(generate_series(pos, pos + 4)) AS t(wi)
+      GROUP BY doc_id
+    ), base AS (
+      SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(greatest(len(ws) - 4, 0) AS BIGINT) AS n_kgrams
+      FROM w
+    )
+    SELECT base.doc_id, n_words, n_kgrams,
+      CAST(coalesce(n_dup_kgrams, 0) AS BIGINT) AS n_dup_kgrams,
+      CAST(coalesce(n_covered_words, 0) AS BIGINT) AS n_covered_words,
+      round(coalesce(n_covered_words, 0) * 1.0 / greatest(n_words, 1), 6)
+        AS covered_frac
+    FROM base LEFT JOIN cov USING (doc_id)
+    """,
+)
+def dedup_spans(spark, sf_dir):
+    """ExactSubstr-style duplicated-span detection (dedup.duplicated_spans,
+    Lee et al. 2022 relational form): corpus-wide repeated 5-grams mark
+    their occurrences; per-doc covered-word fraction drives the span-cut
+    decision. Hash-aggregation stands in for the paper's suffix array —
+    shuffle keys are digests and (id, int) pairs, text never shuffles."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("promo "), F.col("source"),
+            F.lit(" official portal best content visit our site today "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return dedup.duplicated_spans(docs, k=5)
+
+
+@q(
+    "quality_classifier",
+    """
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), s AS (
+      SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        CAST(coalesce(list_sum(list_transform(ws,
+          w -> (CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % 4096)
+               * 2654435761 % 4001 - 2000)), 0) AS BIGINT) AS score_sum
+      FROM w
+    )
+    SELECT doc_id, n_tokens, score_sum,
+      round(score_sum * 1.0 / greatest(n_tokens, 1), 6) AS clf_score,
+      (round(score_sum * 1.0 / greatest(n_tokens, 1), 6) > 0) AS keep
+    FROM s
+    """,
+)
+def quality_classifier(spark, sf_dir):
+    """Model-based quality filter, fastText/VW inference shape
+    (textstats.hashed_classifier_features): feature-hashed token buckets →
+    per-bucket weight → mean score → keep gate. Pure whole-stage-codegen
+    mapper — zero shuffle, zero Python; a trained weight vector drops in
+    without changing the plan shape (see the operator docstring)."""
+    feats = textstats.hashed_classifier_features(F.col("text"))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", *[c.alias(k) for k, c in feats.items()]
+    )
+
+
 # =====================================================================
 # 3. engine UDFs under the oracle gate (canonicalization + extraction)
 # =====================================================================

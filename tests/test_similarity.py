@@ -808,3 +808,129 @@ class TestParagraphDedup:
         # and the keep-first aggregate runs partial (map-side) before its
         # exchange: 'partial_min' appears below the shuffle in the plan
         assert "partial_min" in plan or "partial" in plan.lower(), plan
+
+
+class TestDuplicatedSpans:
+    """dedup.duplicated_spans: ExactSubstr-style relational span detection
+    (oracled end-to-end via the dedup_spans lane; these pin hand-computable
+    semantics, the short-doc guard, and the shuffle discipline)."""
+
+    def test_cross_doc_span(self, spark):
+        from crawld_spark.operators.dedup import duplicated_spans
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "x a b c y"), (3, "p q r s t")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in duplicated_spans(docs, k=3).collect()}
+        # "a b c" occurs in doc1@0 and doc2@1 — each marks one kgram
+        # covering 3 words of 5
+        assert (got[1].n_dup_kgrams, got[1].n_covered_words) == (1, 3)
+        assert (got[2].n_dup_kgrams, got[2].n_covered_words) == (1, 3)
+        assert got[1].covered_frac == 0.6
+        assert (got[3].n_dup_kgrams, got[3].n_covered_words) == (0, 0)
+        assert got[3].n_kgrams == 3 and got[3].n_words == 5
+
+    def test_intra_doc_repetition_counts(self, spark):
+        from crawld_spark.operators.dedup import duplicated_spans
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b a b"), (2, "u v w x y z")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in duplicated_spans(docs, k=3).collect()}
+        # kgrams of doc1: "a b a"@0,2 and "b a b"@1,3 — all positions dup,
+        # overlapping intervals union to the whole doc
+        assert got[1].n_dup_kgrams == 4
+        assert got[1].n_covered_words == 6
+        assert got[1].covered_frac == 1.0
+        assert got[2].n_dup_kgrams == 0
+
+    def test_short_doc_guard(self, spark):
+        """n < k must yield an EMPTY kgram array, not a descending
+        F.sequence (Spark's default step is -1 when start > stop)."""
+        from crawld_spark.operators.dedup import duplicated_spans
+
+        docs = spark.createDataFrame(
+            [(1, "only two"), (2, ""), (3, "a b c d e f")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in duplicated_spans(docs, k=5).collect()}
+        assert (got[1].n_words, got[1].n_kgrams) == (2, 0)
+        assert (got[2].n_words, got[2].n_kgrams) == (0, 0)
+        assert got[3].n_kgrams == 2
+
+    def test_no_window_text_never_shuffles(self, spark):
+        """Shuffle keys must be digests / (id,int) pairs only — the doc
+        text column is projected away before any Exchange."""
+        from crawld_spark.operators.dedup import duplicated_spans
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e")], "doc_id long, text string"
+        )
+        plan = (
+            duplicated_spans(docs, k=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan, plan
+        import re
+
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "text" not in m.group(1), m.group(0)
+
+
+class TestHashedClassifier:
+    """textstats.hashed_classifier_features: feature-hashing linear quality
+    classifier (oracled via the quality_classifier lane; these pin the
+    arithmetic against a pure-Python replay and the zero-shuffle shape)."""
+
+    @staticmethod
+    def _py_weight(w: str) -> int:
+        import hashlib
+
+        b = int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 4096
+        return b * 2654435761 % 4001 - 2000
+
+    def test_matches_python_replay(self, spark):
+        from pyspark.sql import functions as F
+
+        from crawld_spark.operators.textstats import hashed_classifier_features
+
+        text = "the quick brown fox jumps over the lazy dog"
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        feats = hashed_classifier_features(F.col("text"))
+        row = docs.select(
+            *[c.alias(k) for k, c in feats.items()]
+        ).collect()[0]
+        toks = text.split()
+        want_sum = sum(self._py_weight(w) for w in toks)
+        assert row.n_tokens == len(toks)
+        assert row.score_sum == want_sum
+        assert row.clf_score == round(want_sum / len(toks), 6)
+        assert row.keep == (row.clf_score > 0)
+
+    def test_empty_text(self, spark):
+        from pyspark.sql import functions as F
+
+        from crawld_spark.operators.textstats import hashed_classifier_features
+
+        docs = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+        feats = hashed_classifier_features(F.col("text"))
+        for row in docs.select(*[c.alias(k) for k, c in feats.items()]).collect():
+            assert row.n_tokens == 0
+            assert row.score_sum == 0
+            assert row.clf_score == 0.0
+            assert row.keep is False
+
+    def test_zero_shuffle_mapper(self, spark):
+        from pyspark.sql import functions as F
+
+        from crawld_spark.operators.textstats import hashed_classifier_features
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        feats = hashed_classifier_features(F.col("text"))
+        plan = (
+            docs.select(*[c.alias(k) for k, c in feats.items()])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
