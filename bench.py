@@ -65,6 +65,9 @@ HEADLINE = [
     "dedup_paragraphs",
     "lm_familiarity",
     "host_blocklist",
+    "dedup_spans",
+    "quality_classifier",
+    "sequence_packing",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

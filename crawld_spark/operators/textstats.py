@@ -569,3 +569,54 @@ def hashed_classifier_features(
         "clf_score": score,
         "keep": score > 0,
     }
+
+
+# ---------------------------------------------------------------------
+# GPT-style concat-and-chunk sequence packing
+# ---------------------------------------------------------------------
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 1024,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Training-sequence construction, concat-and-chunk form: documents are
+    concatenated in ``id_col`` order into one token stream and cut into
+    fixed ``seq_len`` blocks. Per document returns its token-stream offset
+    and the sequence ids it lands in: ``(id_col, tokens_col, start_off,
+    first_seq, last_seq, n_seqs, crosses_boundary)`` — the packing manifest
+    a loader needs to materialize shards, and the place boundary-crossing
+    statistics (attention-mask breaks) come from.
+
+    The sequential-looking "running offset of every preceding document" is
+    :func:`crawld_spark.plans.rank.global_prefix_sum` — the engine's
+    two-phase range-partitioned prefix sum (NO single-partition window, the
+    classic scale trap for exactly this op); everything after the offset is
+    per-row arithmetic in whole-stage codegen. One range shuffle of
+    (id, int) pairs total, text never moves — at 100 TB the manifest is
+    built without touching payload bytes.
+    """
+    from crawld_spark.plans.rank import global_prefix_sum
+
+    cum = global_prefix_sum(
+        docs.select(id_col, F.col(tokens_col).cast("long").alias(tokens_col)),
+        [F.asc(id_col)],
+        F.col(tokens_col),
+        out="_cum",
+        num_partitions=num_partitions,
+    )
+    start = (F.col("_cum") - F.col(tokens_col)).alias("start_off")
+    first = F.floor((F.col("_cum") - F.col(tokens_col)) / seq_len).cast("long")
+    last = F.floor((F.col("_cum") - 1) / seq_len).cast("long")
+    has = F.col(tokens_col) > 0
+    return cum.select(
+        id_col,
+        tokens_col,
+        start.cast("long"),
+        F.when(has, first).alias("first_seq"),
+        F.when(has, last).alias("last_seq"),
+        F.when(has, last - first + 1).otherwise(F.lit(0)).cast("long").alias("n_seqs"),
+        F.when(has, last > first).otherwise(F.lit(False)).alias("crosses_boundary"),
+    )

@@ -1613,6 +1613,49 @@ def quality_classifier(spark, sf_dir):
     )
 
 
+@q(
+    "sequence_packing",
+    """
+    WITH w AS (
+      SELECT doc_id,
+        CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+        sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM w
+    )
+    SELECT doc_id, n_tokens,
+      CAST(cum - n_tokens AS BIGINT) AS start_off,
+      CAST(CASE WHEN n_tokens > 0 THEN (cum - n_tokens) // 256 END
+           AS BIGINT) AS first_seq,
+      CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // 256 END
+           AS BIGINT) AS last_seq,
+      CAST(CASE WHEN n_tokens > 0
+           THEN (cum - 1) // 256 - (cum - n_tokens) // 256 + 1
+           ELSE 0 END AS BIGINT) AS n_seqs,
+      CASE WHEN n_tokens > 0
+           THEN (cum - 1) // 256 > (cum - n_tokens) // 256
+           ELSE FALSE END AS crosses_boundary
+    FROM c
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    """Training-sequence packing manifest (textstats.pack_sequences):
+    concat-and-chunk documents in doc_id order into 256-token sequences.
+    The oracle's ORDER BY window IS the scale trap the engine avoids — the
+    Spark side runs the two-phase range-partitioned prefix sum
+    (plans/rank.global_prefix_sum), no single-partition exchange."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+        ).cast("long").alias("n_tokens"),
+    )
+    return textstats.pack_sequences(d, seq_len=256)
+
+
 # =====================================================================
 # 3. engine UDFs under the oracle gate (canonicalization + extraction)
 # =====================================================================

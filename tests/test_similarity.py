@@ -934,3 +934,60 @@ class TestHashedClassifier:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan, plan
+
+
+class TestPackSequences:
+    """textstats.pack_sequences: concat-and-chunk packing manifest
+    (oracled via the sequence_packing lane; these pin hand-computable
+    offsets, the empty-doc lane, and the no-single-partition plan)."""
+
+    def test_hand_computed_offsets(self, spark):
+        from crawld_spark.operators.textstats import pack_sequences
+
+        # token stream: doc1=[0,3) doc2=[3,7) doc3=[7,9); seq_len=4
+        docs = spark.createDataFrame(
+            [(1, 3), (2, 4), (3, 2)], "doc_id long, n_tokens long"
+        )
+        got = {r.doc_id: r for r in pack_sequences(docs, seq_len=4).collect()}
+        assert (got[1].start_off, got[1].first_seq, got[1].last_seq) == (0, 0, 0)
+        assert got[1].n_seqs == 1 and got[1].crosses_boundary is False
+        assert (got[2].start_off, got[2].first_seq, got[2].last_seq) == (3, 0, 1)
+        assert got[2].n_seqs == 2 and got[2].crosses_boundary is True
+        assert (got[3].start_off, got[3].first_seq, got[3].last_seq) == (7, 1, 2)
+        assert got[3].n_seqs == 2 and got[3].crosses_boundary is True
+
+    def test_empty_doc(self, spark):
+        from crawld_spark.operators.textstats import pack_sequences
+
+        docs = spark.createDataFrame(
+            [(1, 5), (2, 0), (3, 5)], "doc_id long, n_tokens long"
+        )
+        got = {r.doc_id: r for r in pack_sequences(docs, seq_len=4).collect()}
+        assert got[2].n_seqs == 0
+        assert got[2].first_seq is None and got[2].last_seq is None
+        assert got[2].crosses_boundary is False
+        # the empty doc occupies no stream space: doc3 starts where doc1 ended
+        assert got[3].start_off == 5
+
+    def test_exact_boundary_no_cross(self, spark):
+        from crawld_spark.operators.textstats import pack_sequences
+
+        # doc1 fills seq 0 exactly; doc2 starts flush at seq 1
+        docs = spark.createDataFrame(
+            [(1, 4), (2, 4)], "doc_id long, n_tokens long"
+        )
+        got = {r.doc_id: r for r in pack_sequences(docs, seq_len=4).collect()}
+        assert (got[1].first_seq, got[1].last_seq, got[1].crosses_boundary) == (0, 0, False)
+        assert (got[2].first_seq, got[2].last_seq, got[2].crosses_boundary) == (1, 1, False)
+
+    def test_no_single_partition_exchange(self, spark):
+        from pyspark.sql import functions as F
+
+        from crawld_spark.operators.textstats import pack_sequences
+
+        docs = spark.range(0, 3000).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 7).alias("n_tokens")
+        )
+        out = pack_sequences(docs, seq_len=64, num_partitions=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan
