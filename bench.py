@@ -68,6 +68,8 @@ HEADLINE = [
     "dedup_spans",
     "quality_classifier",
     "sequence_packing",
+    "length_percentile_filter",
+    "tfidf_top_terms",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

@@ -620,3 +620,107 @@ def pack_sequences(
         F.when(has, last - first + 1).otherwise(F.lit(0)).cast("long").alias("n_seqs"),
         F.when(has, last > first).otherwise(F.lit(False)).alias("crosses_boundary"),
     )
+
+
+# ---------------------------------------------------------------------
+# corpus-percentile length trimming
+# ---------------------------------------------------------------------
+
+def percentile_length_filter(
+    docs: DataFrame,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Trim length outliers by corpus percentile: keep documents whose
+    token count lies within the ``[lo, hi]`` interpolated quantiles of the
+    corpus itself (the data-dependent alternative to quality_rules' fixed
+    10..10000 gate). Returns ``(id_col, tokens_col, lo_thresh, hi_thresh,
+    keep)``.
+
+    Uses Spark's EXACT ``percentile`` aggregate (linear interpolation —
+    same definition as DuckDB's ``quantile_cont``, verified bit-equal in
+    the lane oracle). Exact percentile aggregates a value→count map
+    map-side, so over an integer token-count domain its state is bounded
+    by the DISTINCT lengths (≤ max doc length), not row count — fine at
+    any corpus size; for unbounded/continuous domains swap in
+    ``approx_percentile``. The two-row threshold frame broadcast-joins
+    back; the filter itself is a codegen projection.
+    """
+    th = docs.agg(
+        F.expr(
+            f"percentile({tokens_col}, array(CAST({lo} AS DOUBLE), "
+            f"CAST({hi} AS DOUBLE)))"
+        ).alias("_th")
+    )
+    v = F.col(tokens_col).cast("double")
+    return (
+        docs.crossJoin(F.broadcast(th))
+        .select(
+            id_col,
+            tokens_col,
+            F.round(F.element_at("_th", 1), 6).alias("lo_thresh"),
+            F.round(F.element_at("_th", 2), 6).alias("hi_thresh"),
+            (
+                (v >= F.element_at("_th", 1)) & (v <= F.element_at("_th", 2))
+            ).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF: term
+    frequency within the doc × ``ln(N/df)`` rarity across the corpus.
+    Returns ``(id_col, term, tf, df, score_q, rank)`` with ``score_q =
+    tf * floor(ln(N/df) * 1e6)`` — IDF quantized to int64 at the
+    *term-type* level (the lm_bigram_scores trick) so scores, and
+    therefore ranks, are integer-exact across engines; ties break on the
+    term string.
+
+    Scale: tf is one map-side-combinable groupBy over (id, term); df one
+    over (term); N one count. The term-type IDF table (vocab-bounded)
+    equi-joins the tf stream — broadcast when small, AQE skew-split for
+    hot stopwords otherwise. The top-k window partitions by document
+    (bounded: a doc's distinct terms), never by term. Text never
+    shuffles — only terms and longs travel.
+    """
+    from pyspark.sql.window import Window
+
+    ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    tok = docs.select(F.col(id_col), F.explode(ws).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
+    df_ = tok.groupBy("term").agg(
+        F.count_distinct(id_col).cast("long").alias("df")
+    )
+    n_docs = docs.select(F.count("*").alias("_n"))
+    idf = df_.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        "df",
+        F.floor(
+            F.log(F.col("_n").cast("double") / F.col("df").cast("double"))
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("idf_q"),
+    )
+    scored = tf.join(idf, "term").select(
+        id_col, "term", "tf", "df",
+        (F.col("tf") * F.col("idf_q")).alias("score_q"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_q"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

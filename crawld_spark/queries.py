@@ -1656,6 +1656,82 @@ def sequence_packing(spark, sf_dir):
     return textstats.pack_sequences(d, seq_len=256)
 
 
+@q(
+    "length_percentile_filter",
+    """
+    WITH w AS (
+      SELECT doc_id,
+        CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS BIGINT) AS n_tokens
+      FROM documents
+    ), t AS (
+      SELECT quantile_cont(n_tokens, 0.05) AS lo,
+             quantile_cont(n_tokens, 0.95) AS hi
+      FROM w
+    )
+    SELECT doc_id, n_tokens,
+      round(lo, 6) AS lo_thresh, round(hi, 6) AS hi_thresh,
+      (n_tokens >= lo AND n_tokens <= hi) AS keep
+    FROM w, t
+    """,
+)
+def length_percentile_filter(spark, sf_dir):
+    """Corpus-percentile length trimming (textstats.
+    percentile_length_filter): keep docs inside the [P5, P95] token-count
+    band computed from the corpus itself. Spark's exact `percentile` and
+    DuckDB's `quantile_cont` share the linear-interpolation definition —
+    the oracle gates that equivalence; the threshold frame broadcasts."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+        ).cast("long").alias("n_tokens"),
+    )
+    return textstats.percentile_length_filter(d, lo=0.05, hi=0.95)
+
+
+@q(
+    "tfidf_top_terms",
+    """
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(ws) AS term FROM w
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY 1
+    ), n AS (SELECT count(*) AS n FROM documents),
+    idf AS (
+      SELECT term, df,
+             CAST(floor(ln(n * 1.0 / df) * 1000000.0) AS BIGINT) AS idf_q
+      FROM df, n
+    ), s AS (
+      SELECT doc_id, tf.term AS term, tf, df, tf * idf_q AS score_q
+      FROM tf JOIN idf USING (term)
+    ), r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score_q DESC, term ASC) AS rank
+      FROM s
+    )
+    SELECT doc_id, term, tf, df, CAST(score_q AS BIGINT) AS score_q,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per document by TF-IDF
+    (textstats.tfidf_top_terms). IDF is int64-quantized at the term-type
+    level (floor(ln(N/df)*1e6), the lm_familiarity trick) so scores and
+    ranks are integer-exact across engines; ties break on the term."""
+    return textstats.tfidf_top_terms(
+        _t(spark, sf_dir, "documents"), k=3
+    )
+
+
 # =====================================================================
 # 3. engine UDFs under the oracle gate (canonicalization + extraction)
 # =====================================================================

@@ -991,3 +991,102 @@ class TestPackSequences:
         out = pack_sequences(docs, seq_len=64, num_partitions=8)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan, plan
+
+
+class TestPercentileLengthFilter:
+    """textstats.percentile_length_filter (oracled via the
+    length_percentile_filter lane; these pin interpolation arithmetic,
+    the degenerate corpus, and the broadcast threshold plan)."""
+
+    def test_hand_computed_band(self, spark):
+        from crawld_spark.operators.textstats import percentile_length_filter
+
+        # lengths 10..19: P5 = 10.45, P95 = 18.55 (linear interpolation)
+        docs = spark.createDataFrame(
+            [(i, 10 + i) for i in range(10)], "doc_id long, n_tokens long"
+        )
+        got = {r.doc_id: r for r in percentile_length_filter(docs).collect()}
+        assert got[0].lo_thresh == 10.45 and got[0].hi_thresh == 18.55
+        assert got[0].keep is False   # 10 < 10.45
+        assert got[1].keep is True    # 11
+        assert got[8].keep is True    # 18
+        assert got[9].keep is False   # 19 > 18.55
+
+    def test_uniform_corpus_keeps_all(self, spark):
+        from crawld_spark.operators.textstats import percentile_length_filter
+
+        docs = spark.createDataFrame(
+            [(i, 7) for i in range(5)], "doc_id long, n_tokens long"
+        )
+        rows = percentile_length_filter(docs).collect()
+        assert all(r.keep for r in rows)
+        assert all(r.lo_thresh == 7.0 and r.hi_thresh == 7.0 for r in rows)
+
+    def test_threshold_broadcasts(self, spark):
+        from crawld_spark.operators.textstats import percentile_length_filter
+
+        docs = spark.createDataFrame(
+            [(i, 10 + i) for i in range(10)], "doc_id long, n_tokens long"
+        )
+        plan = (
+            percentile_length_filter(docs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+class TestTfidfTopTerms:
+    """textstats.tfidf_top_terms (oracled via the tfidf_top_terms lane;
+    these pin the ranking arithmetic and the window discipline)."""
+
+    def test_rare_term_wins(self, spark):
+        from crawld_spark.operators.textstats import tfidf_top_terms
+
+        # 'zebra' appears only in doc1 (df=1, idf=ln(3)>0); 'the' is in
+        # all docs (df=3, idf=0 -> score 0 regardless of tf)
+        docs = spark.createDataFrame(
+            [
+                (1, "the the zebra apple"),
+                (2, "the apple apple"),
+                (3, "the banana"),
+            ],
+            "doc_id long, text string",
+        )
+        got = tfidf_top_terms(docs, k=1).collect()
+        top = {r.doc_id: r for r in got}
+        assert top[1].term == "zebra" and top[1].df == 1
+        assert top[2].term == "apple" and top[2].df == 2
+        assert top[3].term == "banana"
+        # 'the' (df = N) must score exactly 0
+        import math
+        assert top[1].score_q == math.floor(math.log(3 / 1) * 1e6)
+
+    def test_tie_breaks_on_term(self, spark):
+        from crawld_spark.operators.textstats import tfidf_top_terms
+
+        # both rare terms have tf=1, df=1 -> equal score; 'ant' < 'bee'
+        docs = spark.createDataFrame(
+            [(1, "ant bee"), (2, "common"), (3, "common")],
+            "doc_id long, text string",
+        )
+        got = sorted(
+            (r.rank, r.term)
+            for r in tfidf_top_terms(docs, k=2).collect()
+            if r.doc_id == 1
+        )
+        assert got == [(1, "ant"), (2, "bee")]
+
+    def test_window_partitions_by_doc_not_term(self, spark):
+        from crawld_spark.operators.textstats import tfidf_top_terms
+
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "b c")], "doc_id long, text string"
+        )
+        plan = (
+            tfidf_top_terms(docs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        import re
+
+        for m in re.finditer(r"Window \[row_number\(\).*partitionBy=\[([^\]]*)\]", plan):
+            assert "term" not in m.group(1), m.group(0)
