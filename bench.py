@@ -70,6 +70,7 @@ HEADLINE = [
     "sequence_packing",
     "length_percentile_filter",
     "tfidf_top_terms",
+    "materialize_sequences",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

@@ -724,3 +724,93 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def materialize_sequences(
+    docs: DataFrame,
+    seq_len: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Materialize the packed training sequences that
+    :func:`pack_sequences` only manifests: cut the concatenated (id-ordered)
+    token stream into ``seq_len`` blocks and assemble each block's text.
+    Returns ``(seq_id, n_tokens, n_docs, seq_md5)`` — md5 of the
+    space-joined block so the lane travels 16 bytes per sequence, not
+    payload. The last block may be partial (its ``n_tokens`` < seq_len).
+
+    Shape: per-doc stream offsets come from the two-phase prefix sum; each
+    document then emits one *fragment* row per sequence it touches (array
+    slice per fragment — a doc adds ceil(n/L)+1 rows max, NOT one row per
+    token), and assembly is one groupBy(seq_id) whose state is bounded by
+    seq_len tokens regardless of corpus size. So the shuffle carries each
+    token's text exactly once, keyed by an integer — the minimum any
+    engine must move to build shards — and no partition ever holds more
+    than its sequences × seq_len tokens.
+    """
+    from crawld_spark.plans.rank import global_prefix_sum
+
+    ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    base = docs.select(F.col(id_col), ws.alias("_ws"))
+    cum = global_prefix_sum(
+        base.select(id_col, "_ws", F.size("_ws").alias("_n")),
+        [F.asc(id_col)],
+        F.col("_n"),
+        out="_cum",
+        num_partitions=num_partitions,
+    )
+    start = F.col("_cum") - F.col("_n")
+    first = F.floor(start / seq_len).cast("long")
+    last = F.floor((F.col("_cum") - 1) / seq_len).cast("long")
+    frags = (
+        cum.where(F.col("_n") > 0)
+        .select(
+            F.col(id_col),
+            start.alias("_start"),
+            F.explode(F.sequence(first, last)).alias("seq_id"),
+            F.col("_ws"),
+        )
+        .select(
+            "seq_id",
+            F.greatest(F.col("seq_id") * seq_len, F.col("_start")).alias("_gpos"),
+            F.slice(
+                "_ws",
+                (
+                    F.greatest(
+                        F.col("seq_id") * seq_len - F.col("_start"), F.lit(0)
+                    )
+                    + 1
+                ).cast("int"),
+                (
+                    F.least(
+                        (F.col("seq_id") + 1) * seq_len - F.col("_start"),
+                        F.size("_ws").cast("long"),
+                    )
+                    - F.greatest(
+                        F.col("seq_id") * seq_len - F.col("_start"), F.lit(0)
+                    )
+                ).cast("int"),
+            ).alias("_frag"),
+        )
+    )
+    return (
+        frags.groupBy("seq_id")
+        .agg(
+            F.sum(F.size("_frag")).cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.md5(
+                F.array_join(
+                    F.flatten(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("_gpos", "_frag"))
+                            ),
+                            lambda s: s["_frag"],
+                        )
+                    ),
+                    " ",
+                )
+            ).alias("seq_md5"),
+        )
+    )

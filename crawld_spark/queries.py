@@ -1657,6 +1657,40 @@ def sequence_packing(spark, sf_dir):
 
 
 @q(
+    "materialize_sequences",
+    """
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), c AS (
+      SELECT doc_id, ws,
+        sum(len(ws)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+          - len(ws) AS start_off
+      FROM w
+    ), t AS (
+      SELECT doc_id, start_off + i - 1 AS gpos, ws[i] AS w
+      FROM c, unnest(generate_series(1, len(ws))) AS u(i)
+    )
+    SELECT CAST(gpos // 256 AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           md5(string_agg(w, ' ' ORDER BY gpos)) AS seq_md5
+    FROM t GROUP BY 1
+    """,
+)
+def materialize_sequences(spark, sf_dir):
+    """Materialized 256-token training sequences
+    (textstats.materialize_sequences): the concat-and-chunk stream cut
+    into blocks and reassembled, md5 per block. The oracle replays it one
+    word at a time; the engine emits per-FRAGMENT rows (a doc adds
+    ceil(n/L)+1 rows max) and assembles with a seq_len-bounded groupBy —
+    each token's text shuffles exactly once, keyed by an integer."""
+    return textstats.materialize_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=256
+    )
+
+
+@q(
     "length_percentile_filter",
     """
     WITH w AS (

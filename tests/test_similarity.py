@@ -1090,3 +1090,75 @@ class TestTfidfTopTerms:
 
         for m in re.finditer(r"Window \[row_number\(\).*partitionBy=\[([^\]]*)\]", plan):
             assert "term" not in m.group(1), m.group(0)
+
+
+class TestMaterializeSequences:
+    """textstats.materialize_sequences (oracled via the
+    materialize_sequences lane; these pin block assembly bytes, the
+    doc-split arithmetic, and the fragment-row bound)."""
+
+    def _md5(self, s):
+        import hashlib
+
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def test_blocks_and_partial_tail(self, spark):
+        from crawld_spark.operators.textstats import materialize_sequences
+
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "d e f g"), (3, "h i")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.seq_id: r for r in materialize_sequences(docs, seq_len=4).collect()
+        }
+        assert (got[0].n_tokens, got[0].n_docs) == (4, 2)
+        assert got[0].seq_md5 == self._md5("a b c d")
+        assert got[1].seq_md5 == self._md5("e f g h")
+        assert (got[2].n_tokens, got[2].n_docs) == (1, 1)
+        assert got[2].seq_md5 == self._md5("i")
+
+    def test_doc_spanning_many_blocks(self, spark):
+        from crawld_spark.operators.textstats import materialize_sequences
+
+        # one 10-token doc across L=3 blocks: w0..w9 -> 4 blocks
+        words = " ".join(f"w{i}" for i in range(10))
+        docs = spark.createDataFrame([(1, words)], "doc_id long, text string")
+        got = {
+            r.seq_id: r for r in materialize_sequences(docs, seq_len=3).collect()
+        }
+        assert len(got) == 4
+        assert got[0].seq_md5 == self._md5("w0 w1 w2")
+        assert got[3].seq_md5 == self._md5("w9")
+        assert all(r.n_docs == 1 for r in got.values())
+
+    def test_empty_docs_skipped(self, spark):
+        from crawld_spark.operators.textstats import materialize_sequences
+
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, ""), (3, "c d")], "doc_id long, text string"
+        )
+        got = {
+            r.seq_id: r for r in materialize_sequences(docs, seq_len=4).collect()
+        }
+        assert got[0].seq_md5 == self._md5("a b c d")
+        assert got[0].n_docs == 2  # empty doc contributes no fragment
+
+    def test_fragment_rows_bounded(self, spark):
+        """A doc emits ceil(n/L)+1 fragment rows max — never per-token
+        rows (count the exploded frame directly)."""
+        from pyspark.sql import functions as F
+
+        from crawld_spark.operators.textstats import materialize_sequences
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"t{i}_{j}" for j in range(50))) for i in range(20)],
+            "doc_id long, text string",
+        )
+        out = materialize_sequences(docs, seq_len=16)
+        # total fragments = sum of per-seq n_docs; 50 tokens over L=16
+        # blocks -> at most ceil(50/16)+1 = 5 fragments per doc
+        total_frags = out.agg(F.sum("n_docs")).collect()[0][0]
+        assert total_frags <= 20 * 5
+        # and every token is present exactly once
+        assert out.agg(F.sum("n_tokens")).collect()[0][0] == 20 * 50
