@@ -71,6 +71,7 @@ HEADLINE = [
     "length_percentile_filter",
     "tfidf_top_terms",
     "materialize_sequences",
+    "semantic_dedup",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

@@ -379,3 +379,75 @@ def srp_candidate_pairs(buckets: DataFrame, id_col: str = "vec_id") -> DataFrame
         .select("v1", "v2")
         .distinct()
     )
+
+
+# ---------- SemDeDup-style semantic deduplication ----------
+
+def semantic_dedup(
+    corpus: DataFrame,
+    tau: float = 0.8,
+    k_cells: int = 8,
+    n_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space near-duplicate removal, SemDeDup shape (Abbas et
+    al. 2023): k-means-cluster the corpus, compare pairs ONLY within a
+    cell, and greedily drop any vector that has a higher-similarity twin
+    with a smaller id. Returns ``(id_col, label, n_similar, dropped)`` —
+    ``n_similar`` counts same-cell neighbors with cosine ≥ ``tau`` in
+    either direction, ``dropped`` marks the non-keepers (keep-lowest-id
+    greedy, the paper's rule up to its random ordering, made deterministic
+    by the id).
+
+    Cells come from :func:`kmeans_assign` (deterministic md5-seeded
+    Lloyd), so the DuckDB twin replays training verbatim and the whole
+    lane is oracle-checked — no inlined constants.
+
+    Scale: the clustering step IS the all-pairs breaker — SemDeDup's k
+    grows with corpus size so expected cell size stays bounded (the paper
+    uses ~100k cells at 5B embeddings, |cell| ~ 5e4), and the within-cell
+    self-equi-join on ``label`` shuffles each quantized vector once by an
+    integer key; no pair ever forms across cells. For heavy-tailed cells,
+    band within the cell with :func:`srp_lsh_buckets` (same key shape:
+    (label, band_key)) before pairing — composition, not a new operator.
+    """
+    labeled = kmeans_assign(
+        corpus.select(id_col, vec_col), k=k_cells, n_iter=n_iter,
+        id_col=id_col, vec_col=vec_col,
+    )
+    qd = labeled.select(
+        F.col(id_col), F.col("label"), quantize(F.col(vec_col)).alias("qv")
+    )
+    a, b = qd.alias("a"), qd.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(cosine_sim(F.col("a.qv"), F.col("b.qv")) >= tau)
+        .select(
+            F.col(f"a.{id_col}").alias("x"), F.col(f"b.{id_col}").alias("y")
+        )
+    )
+    touched = (
+        pairs.select(F.col("x").alias(id_col))
+        .unionAll(pairs.select(F.col("y").alias(id_col)))
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_similar"))
+    )
+    losers = pairs.select(F.col("y").alias(id_col)).distinct().withColumn(
+        "_drop", F.lit(True)
+    )
+    return (
+        qd.select(id_col, "label")
+        .join(touched, id_col, "left")
+        .join(losers, id_col, "left")
+        .select(
+            id_col,
+            F.col("label").cast("long").alias("label"),
+            F.coalesce("n_similar", F.lit(0)).cast("long").alias("n_similar"),
+            F.coalesce("_drop", F.lit(False)).alias("dropped"),
+        )
+    )

@@ -858,7 +858,13 @@ def ann_ivf_topk(spark, sf_dir):
 _KM_K, _KM_ITER, _KM_DIM = 8, 4, 64
 
 
-def _kmeans_ivf_sql(k: int = _KM_K, n_iter: int = _KM_ITER, dim: int = _KM_DIM) -> str:
+def _kmeans_train_ctes(src: str, k: int, n_iter: int, dim: int) -> list[str]:
+    """CTE chain replaying kmeans_assign verbatim over a corpus CTE named
+    ``src`` (columns vec_id, qv): md5-ranked seeds, then per iteration one
+    argmax-assignment CTE and one floor-mean centroid-update CTE. The
+    final assignment is CTE ``a{n_iter}`` (vec_id, qv, label). Shared by
+    the ann_ivf_kmeans and semantic_dedup twins."""
+
     def dot(a: str, b: str) -> str:
         return (
             f"CAST(list_sum(list_transform(range(1, {dim + 1}),"
@@ -877,23 +883,21 @@ def _kmeans_ivf_sql(k: int = _KM_K, n_iter: int = _KM_ITER, dim: int = _KM_DIM) 
     # floor-mean: exact integer floor division (Python // semantics)
     mean = "(s - ((s % n + n) % n)) // n"
     ctes = [
-        f"q AS (SELECT vec_id AS qid, {_QUANT_SQL} AS qv FROM embeddings WHERE vec_id < 3)",
-        f"c AS (SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings WHERE vec_id >= 3)",
         f"""cent0 AS (
       SELECT label, cv FROM (
         SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
                     AS INT) AS label,
                qv AS cv
-        FROM c) WHERE label < {k})""",
+        FROM {src}) WHERE label < {k})""",
     ]
     for i in range(1, n_iter + 1):
         ctes.append(
             f"""a{i} AS (
       SELECT vec_id, qv, label FROM (
-        SELECT c.vec_id, c.qv, t.label,
-               row_number() OVER (PARTITION BY c.vec_id
-                                  ORDER BY {score('c.qv', 't.cv')} DESC, t.label) AS r
-        FROM c CROSS JOIN cent{i - 1} t) WHERE r = 1)"""
+        SELECT {src}.vec_id, {src}.qv, t.label,
+               row_number() OVER (PARTITION BY {src}.vec_id
+                                  ORDER BY {score(f'{src}.qv', 't.cv')} DESC, t.label) AS r
+        FROM {src} CROSS JOIN cent{i - 1} t) WHERE r = 1)"""
         )
         if i < n_iter:  # the final assignment needs no further update
             ctes.append(
@@ -910,6 +914,17 @@ def _kmeans_ivf_sql(k: int = _KM_K, n_iter: int = _KM_ITER, dim: int = _KM_DIM) 
       SELECT p.label, coalesce(u.cv, p.cv) AS cv
       FROM cent{i - 1} p LEFT JOIN u{i} u ON u.label = p.label)"""
             )
+    return ctes
+
+
+def _kmeans_ivf_sql(k: int = _KM_K, n_iter: int = _KM_ITER, dim: int = _KM_DIM) -> str:
+    # floor-mean: exact integer floor division (Python // semantics)
+    mean = "(s - ((s % n + n) % n)) // n"
+    ctes = [
+        f"q AS (SELECT vec_id AS qid, {_QUANT_SQL} AS qv FROM embeddings WHERE vec_id < 3)",
+        f"c AS (SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings WHERE vec_id >= 3)",
+    ]
+    ctes += _kmeans_train_ctes("c", k, n_iter, dim)
     # multi-probe IVF search over the trained cells — identical shape to
     # _ANN_IVF_SQL (floor-mean centroids recomputed from the labeled corpus,
     # exactly what ivf_topk does with kmeans_assign's output)
@@ -977,6 +992,68 @@ def ann_ivf_kmeans(spark, sf_dir):
         emb.where(F.col("vec_id") < 3),
         emb.where(F.col("vec_id") >= 3).select("vec_id", "embedding"),
         k=5, n_probe=2, n_cells=_KM_K, n_iter=_KM_ITER,
+    )
+
+
+# the synthetic embeddings are near-orthogonal (max pairwise cosine ~0.51),
+# so the lane INJECTS exact duplicates — every 17th vector re-enters under
+# id+100000, identically on both engines (the pii_scrub/dedup_paragraphs
+# injection pattern) — and the dedup must find and drop exactly the copies.
+_SEMDUP_SRC_SQL = (
+    "SELECT vec_id, embedding FROM embeddings "
+    "UNION ALL "
+    "SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 17 = 0"
+)
+
+
+def _semantic_dedup_sql(
+    tau: float = 0.8, k: int = _KM_K, n_iter: int = _KM_ITER, dim: int = _KM_DIM
+) -> str:
+    ctes = [
+        f"c AS (SELECT vec_id, {_QUANT_SQL} AS qv FROM ({_SEMDUP_SRC_SQL}))"
+    ]
+    ctes += _kmeans_train_ctes("c", k, n_iter, dim)
+    ctes += [
+        f"lab AS (SELECT vec_id, qv, label FROM a{n_iter})",
+        """p AS (SELECT a.vec_id AS x, b.vec_id AS y, a.qv AS q1, b.qv AS q2
+      FROM lab a JOIN lab b ON a.label = b.label AND a.vec_id < b.vec_id)""",
+        "flat AS (SELECT x, y, unnest(q1) AS u, unnest(q2) AS v FROM p)",
+        """dots AS (SELECT x, y, CAST(sum(u * v) AS BIGINT) AS dot,
+             CAST(sum(u * u) AS BIGINT) AS n1, CAST(sum(v * v) AS BIGINT) AS n2
+      FROM flat GROUP BY x, y)""",
+        f"e AS (SELECT x, y FROM dots WHERE dot / (sqrt(n1) * sqrt(n2)) >= {tau})",
+        """t AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_similar
+      FROM (SELECT x AS vec_id FROM e UNION ALL SELECT y FROM e) GROUP BY 1)""",
+        "l AS (SELECT DISTINCT y AS vec_id FROM e)",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT lab.vec_id, CAST(label AS BIGINT) AS label,
+      CAST(coalesce(n_similar, 0) AS BIGINT) AS n_similar,
+      (l.vec_id IS NOT NULL) AS dropped
+    FROM lab LEFT JOIN t USING (vec_id) LEFT JOIN l USING (vec_id)"""
+    )
+
+
+@q("semantic_dedup", _semantic_dedup_sql())
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup-style embedding near-dup removal
+    (similarity.semantic_dedup): deterministic k-means cells (the trained
+    IVF quantizer) bound the pair space; within a cell, cosine ≥ 0.8 pairs
+    mark the higher id dropped (keep-lowest-id greedy). The DuckDB twin
+    replays the whole unrolled training — no inlined constants. Injected
+    exact copies (every 17th vector under id+100000) are the planted
+    ground truth the dedup must recover."""
+    emb = _t(spark, sf_dir, "embeddings")
+    injected = emb.select("vec_id", "embedding").unionAll(
+        emb.where(F.col("vec_id") % 17 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    return similarity.semantic_dedup(
+        injected, tau=0.8, k_cells=_KM_K, n_iter=_KM_ITER,
     )
 
 

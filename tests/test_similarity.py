@@ -1162,3 +1162,52 @@ class TestMaterializeSequences:
         assert total_frags <= 20 * 5
         # and every token is present exactly once
         assert out.agg(F.sum("n_tokens")).collect()[0][0] == 20 * 50
+
+
+class TestSemanticDedup:
+    """similarity.semantic_dedup: SemDeDup-style within-cell greedy dedup
+    (oracled via the semantic_dedup lane incl. replayed k-means training;
+    these pin the keep-lowest-id rule and the no-false-positive floor)."""
+
+    def _corpus(self, spark):
+        import math
+
+        # 12 near-orthogonal base vectors (one-hot-ish) + exact copies of
+        # vectors 0 and 3 under higher ids
+        rows = []
+        for i in range(12):
+            v = [0.0] * 16
+            v[i] = 1.0
+            v[(i + 5) % 16] = 0.25
+            rows.append((i, v))
+        rows.append((100, rows[0][1]))
+        rows.append((101, rows[3][1]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_drops_exact_copies_keeps_originals(self, spark):
+        from crawld_spark.operators.similarity import semantic_dedup
+
+        got = {
+            r.vec_id: r
+            for r in semantic_dedup(
+                self._corpus(spark), tau=0.95, k_cells=4, n_iter=2
+            ).collect()
+        }
+        assert got[100].dropped is True and got[101].dropped is True
+        assert got[0].dropped is False and got[3].dropped is False
+        assert got[0].n_similar == 1 and got[100].n_similar == 1
+        # identical vectors always land in the same cell
+        assert got[0].label == got[100].label
+        assert got[3].label == got[101].label
+
+    def test_orthogonal_corpus_drops_nothing(self, spark):
+        from pyspark.sql import functions as F
+
+        from crawld_spark.operators.similarity import semantic_dedup
+
+        base = self._corpus(spark).where(F.col("vec_id") < 12)
+        rows = semantic_dedup(base, tau=0.95, k_cells=4, n_iter=2).collect()
+        assert all(not r.dropped and r.n_similar == 0 for r in rows)
+        assert len(rows) == 12
