@@ -1211,3 +1211,121 @@ class TestSemanticDedup:
         rows = semantic_dedup(base, tau=0.95, k_cells=4, n_iter=2).collect()
         assert all(not r.dropped and r.n_similar == 0 for r in rows)
         assert len(rows) == 12
+
+
+class TestSpanPackingRandomized:
+    """Randomized differential check: duplicated_spans, pack_sequences and
+    materialize_sequences vs independent pure-Python references over a
+    deterministic small-vocab corpus (vocab small enough that cross-doc
+    k-gram collisions are dense — the regime the hand tests can't cover)."""
+
+    K, L = 3, 7
+
+    def _corpus(self):
+        import random
+
+        rng = random.Random(12345)
+        vocab = [f"w{i}" for i in range(9)]
+        docs = []
+        for d in range(60):
+            n = rng.randint(0, 14)
+            docs.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+        return docs
+
+    def test_duplicated_spans_matches_reference(self, spark):
+        from crawld_spark.operators.dedup import duplicated_spans
+
+        docs = self._corpus()
+        k = self.K
+        words = {d: [w for w in t.split(" ") if w] for d, t in docs}
+        occ = {}
+        for d, ws in words.items():
+            for p in range(max(len(ws) - k + 1, 0)):
+                occ.setdefault(tuple(ws[p : p + k]), []).append((d, p))
+        dup_pos = {d: set() for d in words}
+        cov = {d: set() for d in words}
+        for g, lst in occ.items():
+            if len(lst) > 1:
+                for d, p in lst:
+                    dup_pos[d].add(p)
+                    cov[d].update(range(p, p + k))
+        want = {
+            d: (
+                len(ws),
+                max(len(ws) - k + 1, 0),
+                len(dup_pos[d]),
+                len(cov[d]),
+                round(len(cov[d]) / max(len(ws), 1), 6),
+            )
+            for d, ws in words.items()
+        }
+        sdf = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (
+                r.n_words, r.n_kgrams, r.n_dup_kgrams,
+                r.n_covered_words, r.covered_frac,
+            )
+            for r in duplicated_spans(sdf, k=k).collect()
+        }
+        assert got == want
+
+    def test_packing_matches_reference(self, spark):
+        import hashlib
+
+        from crawld_spark.operators.textstats import (
+            materialize_sequences,
+            pack_sequences,
+        )
+
+        docs = self._corpus()
+        L = self.L
+        words = {d: [w for w in t.split(" ") if w] for d, t in docs}
+        # reference: flat stream in doc_id order
+        stream, offsets = [], {}
+        for d in sorted(words):
+            offsets[d] = len(stream)
+            stream.extend(words[d])
+        want_pack = {}
+        for d in sorted(words):
+            n, s = len(words[d]), offsets[d]
+            if n:
+                first, last = s // L, (s + n - 1) // L
+                want_pack[d] = (n, s, first, last, last - first + 1, last > first)
+            else:
+                want_pack[d] = (0, s, None, None, 0, False)
+        sdf = spark.createDataFrame(
+            [(d, len(ws)) for d, ws in words.items()],
+            "doc_id long, n_tokens long",
+        )
+        got_pack = {
+            r.doc_id: (
+                r.n_tokens, r.start_off, r.first_seq,
+                r.last_seq, r.n_seqs, r.crosses_boundary,
+            )
+            for r in pack_sequences(sdf, seq_len=L).collect()
+        }
+        assert got_pack == want_pack
+
+        want_mat = {}
+        for s in range(0, len(stream), L):
+            block = stream[s : s + L]
+            ndocs = len(
+                {
+                    d
+                    for d in words
+                    if words[d]
+                    and offsets[d] < s + len(block)
+                    and offsets[d] + len(words[d]) > s
+                }
+            )
+            want_mat[s // L] = (
+                len(block),
+                ndocs,
+                hashlib.md5(" ".join(block).encode()).hexdigest(),
+            )
+        tdf = spark.createDataFrame(docs, "doc_id long, text string")
+        got_mat = {
+            r.seq_id: (r.n_tokens, r.n_docs, r.seq_md5)
+            for r in materialize_sequences(tdf, seq_len=L).collect()
+        }
+        assert got_mat == want_mat
