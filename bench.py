@@ -72,6 +72,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "materialize_sequences",
     "semantic_dedup",
+    "warc_roundtrip",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

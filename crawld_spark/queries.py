@@ -1876,6 +1876,56 @@ def url_canonicalize(spark, sf_dir):
 
 
 @q(
+    "warc_roundtrip",
+    # WARC (ISO 28500) ingest gate: Spark serializes each Arrow batch of
+    # documents into ONE multi-record WARC blob (sources/warc.warc_bytes_of
+    # — real framing, HTTP envelopes, Content-Length walk), parses it back
+    # (parse_warc_bytes) and extracts the text; the oracle asserts byte
+    # identity end-to-end (the input_hint invariant through a WARC hop).
+    """
+    SELECT doc_id,
+           'http://d/' || doc_id AS roundtrip_url,
+           text AS extracted
+    FROM documents
+    """,
+)
+def warc_roundtrip(spark, sf_dir):
+    from crawld_spark.functions.extract import extract_text_one, wrap_html_one
+    from crawld_spark.sources.warc import parse_warc_bytes, warc_bytes_of
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def rt(batches):
+        import pandas as pd
+
+        base = pd.Timestamp("2024-01-01", tz="UTC")
+        for b in batches:
+            if not len(b):
+                continue
+            recs = [
+                (
+                    f"http://d/{int(i)}",
+                    base + pd.Timedelta(seconds=int(i)),
+                    wrap_html_one(f"http://d/{int(i)}", t, []),
+                )
+                for i, t in zip(b["doc_id"], b["text"])
+            ]
+            parsed, skipped = parse_warc_bytes(warc_bytes_of(recs))
+            assert skipped == 0 and len(parsed) == len(recs)
+            yield pd.DataFrame(
+                {
+                    "doc_id": [int(r["url"].rsplit("/", 1)[1]) for r in parsed],
+                    "roundtrip_url": [r["url"] for r in parsed],
+                    "extracted": [extract_text_one(r["html"]) for r in parsed],
+                }
+            )
+
+    return d.mapInPandas(
+        rt, schema="doc_id long, roundtrip_url string, extracted string"
+    )
+
+
+@q(
     "extract_text_roundtrip",
     # byte-identity through the driver's value-hash: Spark wraps text into
     # HTML and extracts it back; oracle asserts identity (input_hint gate)

@@ -383,3 +383,80 @@ class TestBpeBroadcastVocab:
             ).collect()
         }
         assert got and all(0 < got[k] <= small[k] for k in got)
+
+
+class TestWarcSource:
+    """sources/warc.py: ISO 28500 framing, gzip members, failure lanes,
+    and the distributed binaryFile→mapInPandas reader (the lane
+    warc_roundtrip gates byte identity through the oracle)."""
+
+    def _recs(self):
+        import pandas as pd
+
+        return [
+            ("http://a.com/1", pd.Timestamp("2024-01-01T00:00:05Z"),
+             b"<html>payload with \r\n\r\n tricky bytes</html>"),
+            ("http://b.com/2", pd.Timestamp("2024-01-01T00:00:06Z"), b""),
+            ("http://c.com/3", pd.Timestamp("2024-02-02T12:00:00Z"),
+             b"WARC/1.0\r\nlooks-like-a-header: but is payload"),
+        ]
+
+    def test_roundtrip_bytes(self):
+        from crawld_spark.sources.warc import parse_warc_bytes, warc_bytes_of
+
+        recs = self._recs()
+        got, skipped = parse_warc_bytes(warc_bytes_of(recs))
+        assert skipped == 0
+        assert [(r["url"], r["warc_ts"], r["html"]) for r in got] == recs
+
+    def test_gzip_members(self):
+        import gzip
+
+        from crawld_spark.sources.warc import parse_warc_bytes, warc_bytes_of
+
+        recs = self._recs()
+        blob = b"".join(gzip.compress(warc_bytes_of([r])) for r in recs)
+        got, skipped = parse_warc_bytes(blob)
+        assert skipped == 0
+        assert [r["html"] for r in got] == [r[2] for r in recs]
+
+    def test_truncated_and_garbage(self):
+        from crawld_spark.sources.warc import parse_warc_bytes, warc_bytes_of
+
+        recs = self._recs()
+        blob = warc_bytes_of(recs)
+        got, skipped = parse_warc_bytes(blob[:-30])  # cuts into record 3
+        assert len(got) == 2 and skipped == 1
+        got2, skipped2 = parse_warc_bytes(b"HTTP nonsense, not WARC")
+        assert got2 == [] and skipped2 == 1
+
+    def test_non_response_records_skipped(self):
+        from crawld_spark.sources.warc import parse_warc_bytes, warc_bytes_of
+
+        recs = self._recs()
+        blob = warc_bytes_of(recs[:1])
+        info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+                b"Content-Length: 4\r\n\r\nmeta\r\n\r\n")
+        got, skipped = parse_warc_bytes(info + blob)
+        assert len(got) == 1 and skipped == 1
+        assert got[0]["url"] == "http://a.com/1"
+
+    def test_read_warc_distributed(self, spark, tmp_path):
+        import gzip
+
+        from crawld_spark.sources.warc import read_warc, warc_bytes_of
+
+        recs = self._recs()
+        (tmp_path / "part-0.warc").write_bytes(warc_bytes_of(recs[:2]))
+        (tmp_path / "part-1.warc.gz").write_bytes(
+            gzip.compress(warc_bytes_of(recs[2:]))
+        )
+        got = {
+            r.url: (r.warc_ts, bytes(r.html))
+            for r in read_warc(spark, str(tmp_path)).collect()
+        }
+        assert set(got) == {u for u, _, _ in recs}
+        for u, ts, html in recs:
+            gts, ghtml = got[u]
+            assert ghtml == html
+            assert gts == ts.tz_localize(None)
