@@ -169,3 +169,38 @@ def read_warc(spark, path: str):
             )
 
     return files.mapInPandas(parse, schema=WARC_SCHEMA)
+
+
+def read_warc_stream(spark, path: str, checkpoint: str | None = None):
+    """Streaming WARC ingest: the file-stream source watches ``path`` for
+    new ``.warc`` / ``.warc.gz`` files (the shape of a live crawl dropping
+    finished segments) and each micro-batch parses only the newly arrived
+    files — same Arrow-batched parser, same output schema as
+    :func:`read_warc`, so the two are drop-in interchangeable and parity
+    is testable (tests/test_streaming.py::TestWarcStream). Returns an
+    unstarted streaming DataFrame; pair with ``availableNow`` to drain a
+    static directory exactly once."""
+    from crawld_spark.shiplib import ensure_shipped
+
+    ensure_shipped(spark)
+
+    files = (
+        spark.readStream.format("binaryFile")
+        # the file-stream source requires the (fixed) binaryFile schema
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(path)
+        .select("content")
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows: list[dict] = []
+            for blob in b["content"]:
+                recs, _ = parse_warc_bytes(bytes(blob))
+                rows.extend(recs)
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
+
+    return files.mapInPandas(parse, schema=WARC_SCHEMA)
