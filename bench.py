@@ -73,6 +73,7 @@ HEADLINE = [
     "materialize_sequences",
     "semantic_dedup",
     "warc_roundtrip",
+    "pagerank",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

@@ -1,0 +1,99 @@
+"""Link-graph centrality for frontier prioritization.
+
+Crawlers order their frontier by link evidence — crawld ranks by
+fork/stars metadata (crawlers/github.go:72-80 cascade), web crawlers by
+in-link centrality (OPIC / PageRank). This module provides the
+PageRank form over the engine's (src, dst) link edges, built for the
+same two disciplines as the rest of the repo:
+
+- **Integer-exact determinism**: ranks live in int64 micro-units
+  (1e6 = rank 1.0). Each iteration distributes ``rank_q // out_degree``
+  to successors (exact floor division) and damps with
+  ``0.15e6 + (85 * sum) // 100`` — every operation is integer, so sums
+  are order-independent and the DuckDB twin replays the whole loop
+  bit-for-bit (the kmeans_assign playbook; no floating-point drift
+  across engines, shuffle schedules, or partition counts).
+- **Bounded lineage**: fixed iteration count, rank frame
+  localCheckpoint-ed per iteration (the connected_components
+  discipline), so the plan never grows with n_iter.
+
+Scale (10^10-edge web graph): one iteration = one equi-join of the rank
+frame onto edges by ``src`` + one ``groupBy(dst)`` sum — both
+map-side-combinable, shuffling only (long, long) pairs. Hot pages
+(everybody links the homepage) are exactly the partial-agg-collapsible
+case; dangling nodes keep their damped base rank via the left join.
+No window, no driver state beyond the loop counter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SCALE = 1_000_000  # rank 1.0 in micro-units
+DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85, exact rational
+
+
+def pagerank(
+    edges: DataFrame,  # src, dst (node ids; parallel edges count twice)
+    n_iter: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: bool = True,  # False = keep full lineage (plan tests only)
+) -> DataFrame:
+    """Fixed-iteration integer PageRank. Returns ``(node, rank_q, out_deg)``
+    for every node appearing as source or destination; ``rank_q`` is the
+    int64 micro-unit rank (``rank ≈ rank_q / 1e6``).
+
+    Uniform init at SCALE; per iteration every node sends
+    ``rank_q // out_deg`` along each out-edge and lands at
+    ``0.15·SCALE + (85 · inbound_sum) // 100``. Sinks (out_deg = 0) absorb
+    (their mass leaves the system, the "remove dangling mass" PageRank
+    variant) — chosen because it keeps the update local and exactly
+    replayable; the conserved variant needs a global dangling-sum term
+    (one extra scalar agg per iteration) and is a drop-in if needed.
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("out_deg"))
+    base = nodes.join(deg, nodes.node == deg.src, "left").select(
+        "node", F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg")
+    )
+    if checkpoint:
+        base = base.localCheckpoint(eager=True)
+    rank = base.select("node", F.lit(SCALE).cast("long").alias("rank_q"))
+    floor_base = (SCALE * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN  # 0.15 · SCALE
+    # all quantities are nonnegative by construction, so `div` (exact long
+    # division, no double rounding past 2^53 — in_sum can reach N·SCALE)
+    # IS floor division, matching DuckDB's `//` in the oracle
+    for _ in range(max(1, n_iter)):
+        contrib = (
+            rank.join(base, "node")
+            .where(F.col("out_deg") > 0)
+            .select("node", F.expr("rank_q div out_deg").alias("share"))
+            .join(e, F.col("node") == F.col("src"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("in_sum"))
+        )
+        rank = (
+            base.select("node")
+            .join(contrib, base.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(floor_base)
+                    + F.expr(
+                        f"(coalesce(in_sum, 0L) * {DAMP_NUM}) div {DAMP_DEN}"
+                    )
+                ).cast("long").alias("rank_q"),
+            )
+        )
+        if checkpoint:
+            rank = rank.localCheckpoint(eager=True)
+    return rank.join(base, "node").select("node", "rank_q", "out_deg")

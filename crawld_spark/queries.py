@@ -1690,6 +1690,71 @@ def quality_classifier(spark, sf_dir):
     )
 
 
+# deterministic synthetic link graph over documents: two arithmetic
+# out-links per doc plus a hub edge to node 0 (everyone links the
+# homepage — the hot-key case PageRank must survive at web scale)
+_PR_ITER = 5
+
+
+def _pagerank_sql(n_iter: int = _PR_ITER) -> str:
+    ctes = [
+        """e AS (
+      SELECT doc_id AS src,
+             unnest([(doc_id * 7 + 1) % n, (doc_id * 13 + 3) % n,
+                     CAST(0 AS BIGINT)]) AS dst
+      FROM documents, (SELECT count(*) AS n FROM documents))""",
+        """nodes AS (SELECT DISTINCT node FROM
+      (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""",
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY src)",
+        """base AS (SELECT node, coalesce(out_deg, 0) AS out_deg
+      FROM nodes LEFT JOIN deg ON node = src)""",
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_q FROM base)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""c{i} AS (
+      SELECT dst, sum(rank_q // out_deg) AS in_sum
+      FROM r{i - 1} r JOIN base USING (node) JOIN e ON node = e.src
+      WHERE out_deg > 0 GROUP BY dst)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+      SELECT node, CAST(150000 + (coalesce(in_sum, 0) * 85) // 100 AS BIGINT)
+               AS rank_q
+      FROM base LEFT JOIN c{i} ON node = dst)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, rank_q, out_deg FROM r{n_iter} JOIN base USING (node)"""
+    )
+
+
+@q("pagerank", _pagerank_sql())
+def pagerank(spark, sf_dir):
+    """Integer-exact PageRank over a deterministic link graph
+    (operators/graph.pagerank): int64 micro-unit ranks, exact `div`
+    arithmetic, fixed iterations — the DuckDB twin unrolls the loop and
+    must match bit-for-bit. Node 0 is a hub (every doc links it): the
+    hot-key inbound sum is exactly the map-side-combinable case."""
+    from crawld_spark.operators import graph
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                (F.col("doc_id") * 7 + 1) % n,
+                (F.col("doc_id") * 13 + 3) % n,
+                F.lit(0).cast("long"),
+            )
+        ).alias("dst"),
+    )
+    return graph.pagerank(edges, n_iter=_PR_ITER)
+
+
 @q(
     "sequence_packing",
     """

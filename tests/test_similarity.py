@@ -1329,3 +1329,64 @@ class TestSpanPackingRandomized:
             for r in materialize_sequences(tdf, seq_len=L).collect()
         }
         assert got_mat == want_mat
+
+
+class TestPagerank:
+    """operators/graph.pagerank: integer-exact fixed-iteration PageRank
+    (oracled via the pagerank lane's unrolled DuckDB twin; these pin a
+    pure-Python replay, sink behavior, and the shuffle discipline)."""
+
+    @staticmethod
+    def _ref(edges, n_iter):
+        SCALE, FLOOR = 1_000_000, 150_000
+        nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+        deg = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        rank = {v: SCALE for v in nodes}
+        for _ in range(n_iter):
+            in_sum = {v: 0 for v in nodes}
+            for s, d in edges:
+                in_sum[d] += rank[s] // deg[s]
+            rank = {v: FLOOR + (in_sum[v] * 85) // 100 for v in nodes}
+        return rank, {v: deg.get(v, 0) for v in nodes}
+
+    def _run(self, spark, edges, n_iter=4):
+        from crawld_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r.node: (r.rank_q, r.out_deg)
+            for r in pagerank(df, n_iter=n_iter).collect()
+        }
+
+    def test_matches_python_replay(self, spark):
+        import random
+
+        rng = random.Random(7)
+        edges = [(rng.randint(0, 19), rng.randint(0, 19)) for _ in range(60)]
+        want_rank, want_deg = self._ref(edges, 4)
+        got = self._run(spark, edges, 4)
+        assert got == {v: (want_rank[v], want_deg[v]) for v in want_rank}
+
+    def test_sink_absorbs_and_hub_wins(self, spark):
+        # star into node 0 (a sink): hub rank grows, spokes settle at base
+        edges = [(i, 0) for i in range(1, 6)]
+        got = self._run(spark, edges, 3)
+        assert got[0][1] == 0                      # sink: out_deg 0
+        assert all(got[i][0] == 150_000 for i in range(1, 6))
+        assert got[0][0] > got[1][0]
+        want_rank, _ = self._ref(edges, 3)
+        assert {v: r for v, (r, _) in got.items()} == want_rank
+
+    def test_no_window_no_text_shuffle(self, spark):
+        from crawld_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        plan = (
+            pagerank(df, n_iter=1, checkpoint=False)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan, plan
+        # inbound sums partial-aggregate before their exchange
+        assert "partial_sum" in plan or "partial" in plan.lower(), plan
