@@ -74,6 +74,7 @@ HEADLINE = [
     "semantic_dedup",
     "warc_roundtrip",
     "pagerank",
+    "recrawl_priority",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

@@ -1690,6 +1690,67 @@ def quality_classifier(spark, sf_dir):
     )
 
 
+@q(
+    "recrawl_priority",
+    # synthesized fetch history: every doc observed at rounds 1..6, its
+    # content version bumping every (doc_id % 3)+1 rounds — three distinct
+    # ground-truth change rates the estimator must recover exactly
+    """
+    WITH h AS (
+      SELECT 'http://d/' || doc_id AS url, r AS round_id,
+             md5(doc_id || '|' || (r // ((doc_id % 3) + 1))) AS digest
+      FROM documents, unnest(generate_series(1, 6)) AS t(r)
+    ), p AS (
+      SELECT url, round_id, digest,
+             lag(digest) OVER (PARTITION BY url ORDER BY round_id) AS prev
+      FROM h
+    ), a AS (
+      SELECT url, CAST(count(*) AS BIGINT) AS n_obs,
+        CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> digest
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+        CAST(max(round_id) AS BIGINT) AS last_round
+      FROM p GROUP BY url
+    )
+    SELECT url, n_obs, n_changes, last_round,
+      CAST((1000000 * n_changes) // greatest(n_obs - 1, 1) AS BIGINT)
+        AS lambda_q,
+      CAST(8 - last_round AS BIGINT) AS staleness,
+      CAST(((1000000 * n_changes) // greatest(n_obs - 1, 1))
+           * (8 - last_round) AS BIGINT) AS priority_q
+    FROM a
+    """,
+)
+def recrawl_priority(spark, sf_dir):
+    """Freshness-driven recrawl scheduling (freshness.change_rate): the
+    per-URL change-rate estimate from fetch history, int64-quantized, and
+    the staleness-weighted recrawl ordering key. The history window
+    partitions by URL (state bounded by revisit count); digests travel,
+    never bytes."""
+    from crawld_spark.operators import freshness
+
+    hist = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .select(
+            F.concat(F.lit("http://d/"), F.col("doc_id").cast("string")).alias("url"),
+            F.explode(F.sequence(F.lit(1), F.lit(6))).alias("round_id"),
+            F.col("doc_id"),
+        )
+        .select(
+            "url",
+            "round_id",
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("|"),
+                    F.expr("round_id div ((doc_id % 3) + 1)").cast("string"),
+                )
+            ).alias("digest"),
+        )
+    )
+    return freshness.change_rate(hist, now_round=8)
+
+
 # deterministic synthetic link graph over documents: two arithmetic
 # out-links per doc plus a hub edge to node 0 (everyone links the
 # homepage — the hot-key case PageRank must survive at web scale)

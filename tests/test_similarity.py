@@ -1390,3 +1390,53 @@ class TestPagerank:
         assert "Window" not in plan, plan
         # inbound sums partial-aggregate before their exchange
         assert "partial_sum" in plan or "partial" in plan.lower(), plan
+
+
+class TestChangeRate:
+    """operators/freshness.change_rate (oracled via the recrawl_priority
+    lane; these pin the estimator arithmetic and the ordering semantics)."""
+
+    def _hist(self, spark):
+        rows = []
+        # url A: changes every visit (digests all distinct), seen rounds 1-4
+        for r in range(1, 5):
+            rows.append(("A", r, f"a{r}"))
+        # url B: never changes, seen rounds 1-4
+        for r in range(1, 5):
+            rows.append(("B", r, "b0"))
+        # url C: one change at round 3, last seen round 3
+        rows += [("C", 1, "c0"), ("C", 2, "c0"), ("C", 3, "c1")]
+        # url D: single observation
+        rows.append(("D", 2, "d0"))
+        return spark.createDataFrame(
+            rows, "url string, round_id long, digest string"
+        )
+
+    def test_estimates(self, spark):
+        from crawld_spark.operators.freshness import change_rate
+
+        got = {
+            r.url: r for r in change_rate(self._hist(spark), now_round=6).collect()
+        }
+        assert (got["A"].n_changes, got["A"].lambda_q) == (3, 1_000_000)
+        assert (got["B"].n_changes, got["B"].lambda_q) == (0, 0)
+        assert (got["C"].n_changes, got["C"].lambda_q) == (1, 500_000)
+        assert (got["D"].n_obs, got["D"].lambda_q) == (1, 0)
+        # priority = lambda * staleness: A stale 2 -> 2e6; C stale 3 -> 1.5e6
+        assert got["A"].priority_q == 2_000_000
+        assert got["C"].priority_q == 1_500_000
+        assert got["B"].priority_q == 0 and got["D"].priority_q == 0
+        # the ordering the scheduler wants: hot-and-stale first
+        order = sorted(got, key=lambda u: -got[u].priority_q)
+        assert order[:2] == ["A", "C"]
+
+    def test_window_partitions_by_url(self, spark):
+        from crawld_spark.operators.freshness import change_rate
+
+        plan = (
+            change_rate(self._hist(spark), now_round=6)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the lag window's spec must partition by the URL (bounded per-URL
+        # history), never run unpartitioned
+        assert "windowspecdefinition(url" in plan, plan
