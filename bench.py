@@ -75,6 +75,7 @@ HEADLINE = [
     "warc_roundtrip",
     "pagerank",
     "recrawl_priority",
+    "sitemap_roundtrip",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

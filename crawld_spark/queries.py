@@ -2052,6 +2052,67 @@ def warc_roundtrip(spark, sf_dir):
 
 
 @q(
+    "sitemap_roundtrip",
+    # sitemap (sitemaps.org) ingest gate: Spark serializes each Arrow batch
+    # of documents into ONE <urlset> (functions/sitemap.sitemap_xml_of),
+    # parses it back (parse_sitemap_bytes) — loc/lastmod/priority must
+    # survive the XML hop exactly (incl. &-escaping in the URL)
+    """
+    SELECT doc_id,
+           'http://site' || (doc_id % 7) || '.com/page?id=' || doc_id
+             || '&ref=sm' AS loc,
+           strftime(TIMESTAMP '2024-01-01 00:00:00'
+                    + INTERVAL (doc_id % 60) SECOND,
+                    '%Y-%m-%dT%H:%M:%SZ') AS lastmod,
+           (doc_id % 10) / 10.0 AS priority
+    FROM documents
+    """,
+)
+def sitemap_roundtrip(spark, sf_dir):
+    from crawld_spark.functions.sitemap import (
+        parse_sitemap_bytes,
+        sitemap_xml_of,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def rt(batches):
+        import pandas as pd
+
+        for b in batches:
+            if not len(b):
+                continue
+            ids = [int(i) for i in b["doc_id"]]
+            xml = sitemap_xml_of(
+                [
+                    (
+                        f"http://site{i % 7}.com/page?id={i}&ref=sm",
+                        f"2024-01-01T00:00:{i % 60:02d}Z",
+                        (i % 10) / 10.0,
+                    )
+                    for i in ids
+                ]
+            )
+            parsed, skipped = parse_sitemap_bytes(xml)
+            assert skipped == 0 and len(parsed) == len(ids)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "loc": [r["loc"] for r in parsed],
+                    "lastmod": [
+                        r["lastmod"].strftime("%Y-%m-%dT%H:%M:%SZ")
+                        for r in parsed
+                    ],
+                    "priority": [r["priority"] for r in parsed],
+                }
+            )
+
+    return d.mapInPandas(
+        rt, schema="doc_id long, loc string, lastmod string, priority double"
+    )
+
+
+@q(
     "extract_text_roundtrip",
     # byte-identity through the driver's value-hash: Spark wraps text into
     # HTML and extracts it back; oracle asserts identity (input_hint gate)

@@ -460,3 +460,75 @@ class TestWarcSource:
             gts, ghtml = got[u]
             assert ghtml == html
             assert gts == ts.tz_localize(None)
+
+
+class TestSitemapSource:
+    """functions/sitemap.py: sitemaps.org parsing (the sitemap_roundtrip
+    lane gates XML-hop identity; these pin index docs, malformed entries,
+    escaping, and the distributed reader)."""
+
+    def test_roundtrip_with_escaping(self):
+        import pandas as pd
+
+        from crawld_spark.functions.sitemap import (
+            parse_sitemap_bytes,
+            sitemap_xml_of,
+        )
+
+        xml = sitemap_xml_of(
+            [
+                ("http://a.com/p?x=1&y=2", "2024-03-01", 0.8),
+                ("http://a.com/<odd>", None, None),
+            ]
+        )
+        got, skipped = parse_sitemap_bytes(xml)
+        assert skipped == 0
+        assert got[0]["loc"] == "http://a.com/p?x=1&y=2"
+        assert got[0]["lastmod"] == pd.Timestamp("2024-03-01")
+        assert got[0]["priority"] == 0.8
+        assert got[1]["loc"] == "http://a.com/<odd>"
+        assert got[1]["lastmod"] is None and got[1]["priority"] is None
+
+    def test_sitemapindex_and_skips(self):
+        from crawld_spark.functions.sitemap import parse_sitemap_bytes
+
+        idx = (
+            b"<sitemapindex>"
+            b"<sitemap><loc>http://a.com/s1.xml</loc></sitemap>"
+            b"<sitemap></sitemap>"  # no loc -> skipped
+            b"</sitemapindex>"
+        )
+        got, skipped = parse_sitemap_bytes(idx)
+        assert len(got) == 1 and skipped == 1
+        assert got[0]["is_index"] is True
+        assert got[0]["loc"] == "http://a.com/s1.xml"
+
+    def test_malformed_fields_tolerated(self):
+        from crawld_spark.functions.sitemap import parse_sitemap_bytes
+
+        bad = (
+            b"<urlset><url><loc>http://x/</loc>"
+            b"<lastmod>not-a-date</lastmod><priority>high</priority>"
+            b"</url></urlset>"
+        )
+        got, skipped = parse_sitemap_bytes(bad)
+        assert skipped == 0
+        assert got[0]["lastmod"] is None and got[0]["priority"] is None
+
+    def test_read_sitemaps_distributed(self, spark, tmp_path):
+        from crawld_spark.functions.sitemap import (
+            read_sitemaps,
+            sitemap_xml_of,
+        )
+
+        (tmp_path / "s1.xml").write_bytes(
+            sitemap_xml_of([("http://a.com/1", "2024-01-01", 0.5)])
+        )
+        (tmp_path / "s2.xml").write_bytes(
+            sitemap_xml_of([("http://b.com/2", None, None)])
+        )
+        got = {r.loc: r for r in read_sitemaps(spark, str(tmp_path)).collect()}
+        assert set(got) == {"http://a.com/1", "http://b.com/2"}
+        assert got["http://a.com/1"].priority == 0.5
+        assert got["http://b.com/2"].lastmod is None
+        assert not any(r.is_index for r in got.values())
