@@ -33,6 +33,7 @@ from pyspark.sql.types import ArrayType, BinaryType, StringType
 
 _ARTICLE_RE = re.compile(rb"<article>(.*?)</article>", re.S)
 _HREF_RE = re.compile(rb'<a href="([^"]*)">')
+_ANCHOR_RE = re.compile(rb'<a href="([^"]*)">([^<]*)</a>')
 
 
 def _escape(text: str) -> str:
@@ -73,6 +74,20 @@ def extract_links_one(html: bytes | None) -> list[str] | None:
     return [h.decode("utf-8") for h in _HREF_RE.findall(html)]
 
 
+def extract_anchors_one(html: bytes | None) -> list[str] | None:
+    """(href, anchor-text) pairs, tab-joined — ``"href\\tanchor"`` per
+    element, in document order. Tab-joined rather than struct-typed so the
+    Arrow transfer stays a flat list<utf8> (structs-in-lists cost an extra
+    child-array hop); callers split JVM-side with ``split(x, '\\t', 2)``.
+    Neither URLs nor the wrapper's anchor text can contain a tab."""
+    if html is None:
+        return None
+    return [
+        h.decode("utf-8") + "\t" + _unescape(a.decode("utf-8"))
+        for h, a in _ANCHOR_RE.findall(html)
+    ]
+
+
 @pandas_udf(StringType())
 def extract_text(html: pd.Series) -> pd.Series:
     return html.map(extract_text_one, na_action="ignore")
@@ -81,6 +96,11 @@ def extract_text(html: pd.Series) -> pd.Series:
 @pandas_udf(ArrayType(StringType()))
 def extract_links(html: pd.Series) -> pd.Series:
     return html.map(extract_links_one, na_action="ignore")
+
+
+@pandas_udf(ArrayType(StringType()))
+def extract_anchors(html: pd.Series) -> pd.Series:
+    return html.map(extract_anchors_one, na_action="ignore")
 
 
 @pandas_udf(BinaryType())

@@ -1,0 +1,108 @@
+"""Corpus-level rollups: per-host reputation stats and cross-snapshot diffs.
+
+Two operators every production crawl/curation loop runs between fetch
+rounds, distinct from the per-document family in textstats.py:
+
+- ``host_stats``: the domain-level prior. Web-corpus curation scores
+  whole hosts before it scores documents (a host that is 80% exact
+  duplicates or single-language boilerplate gets demoted wholesale —
+  the FineWeb/CCNet "per-domain" discipline). The crawld analog is the
+  per-forge bookkeeping in the reference's crawler cascade
+  (/root/reference/crawlers/github.go:72-80 ranks within a source);
+  here the rollup is computed FROM the corpus rather than from API
+  metadata.
+- ``snapshot_diff``: the recrawl change-detector. Two crawl snapshots of
+  the same URL space → added / removed / changed / unchanged per URL,
+  the input to freshness priors (operators/freshness.py) and recrawl
+  scheduling. The reference's clone-vs-update branch
+  (/root/reference/crawld.go:109-249) is the per-repo form of the same
+  decision; the diff operator is its set-at-once form.
+
+Scale discipline (10^10 URLs / 10^8 hosts):
+
+- ``host_stats`` shuffles only ``(host, digest, small ints)`` — text
+  never moves; the digest is md5 (16 bytes), computed map-side. Two
+  aggregations, both partial-agg collapsible (hot hosts are exactly the
+  map-side-combine case); the host-level join at the end is
+  host-cardinality, not doc-cardinality.
+- ``snapshot_diff`` is one full-outer equi-join on the URL key with
+  narrow payloads (key + digest). Both sides hash-partition on the same
+  key, so AQE can plan a co-partitioned join; no row explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def host_stats(
+    docs: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Per-host rollup: ``(host, n_docs, total_chars, dup_docs, n_langs)``.
+
+    ``dup_docs`` counts documents whose exact text digest collides with
+    another document of the SAME host (within-host exact-duplicate mass,
+    the boilerplate-host signal). All counts are int64.
+    """
+    d = docs.select(
+        F.col(host_col).alias("host"),
+        F.md5(F.col(text_col)).alias("dig"),
+        F.col(lang_col).alias("lang"),
+        F.col(chars_col).cast("long").alias("chars"),
+    )
+    # pass 1: collapse to (host, digest) — text never shuffles, and the
+    # partial aggregation absorbs hot hosts before the exchange
+    g = d.groupBy("host", "dig").agg(
+        F.count("*").alias("cnt"), F.sum("chars").alias("chars")
+    )
+    h = g.groupBy("host").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.sum("chars").cast("long").alias("total_chars"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("dup_docs"),
+    )
+    # distinct langs per host: separate host-keyed agg (count_distinct
+    # dedups partially per key before the exchange), host-cardinality join
+    l = d.groupBy("host").agg(
+        F.count_distinct("lang").cast("long").alias("n_langs")
+    )
+    return h.join(l, "host").select(
+        "host", "n_docs", "total_chars", "dup_docs", "n_langs"
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,  # key_col + digest_col
+    new: DataFrame,
+    key_col: str = "url",
+    digest_col: str = "dig",
+) -> DataFrame:
+    """Cross-snapshot URL diff: ``(url, status, old_digest, new_digest)``
+    with status in {added, removed, changed, unchanged}.
+
+    One full-outer equi-join on the key; payloads are digests only, so the
+    exchange is ~50 bytes/row regardless of page size. Downstream:
+    ``changed``/``added`` rows feed the recrawl frontier, ``removed`` rows
+    feed tombstones, and per-host ``changed`` rates feed
+    freshness.change_rates.
+    """
+    o = old.select(
+        F.col(key_col).alias("url"), F.col(digest_col).alias("old_digest")
+    )
+    n = new.select(
+        F.col(key_col).alias("url"), F.col(digest_col).alias("new_digest")
+    )
+    j = o.join(n, "url", "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") == F.col("new_digest"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("url", status.alias("status"), "old_digest", "new_digest")

@@ -33,6 +33,49 @@ SCALE = 1_000_000  # rank 1.0 in micro-units
 DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85, exact rational
 
 
+def anchor_text_agg(
+    pages: DataFrame,  # id_col + html_col (binary)
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    max_anchors: int = 8,
+) -> DataFrame:
+    """Inbound anchor-text aggregation per link target:
+    ``(target, n_inlinks, n_srcs, anchors_joined)``.
+
+    Anchor text is the classic off-page relevance signal (how OTHER pages
+    describe a URL) — search/crawl stacks aggregate it per target to rank
+    frontier candidates and to label pages never yet fetched. crawld's
+    analog is set-expansion metadata travelling with the link
+    (/root/reference/crawlers/github.go:941-1002); the web form carries
+    the <a> element's text.
+
+    Shape: one Arrow hop extracts (href, anchor) pairs from each page,
+    the explode emits ``(target, short string)`` rows — HTML never leaves
+    its executor — and one groupBy(target) aggregates. ``anchors_joined``
+    is the sorted distinct anchor set capped at ``max_anchors`` entries
+    (hot targets — everyone links the homepage — would otherwise
+    collect_set unboundedly; the cap is applied after the sort so the
+    kept set is deterministic). Counts are int64.
+    """
+    from crawld_spark.functions.extract import extract_anchors
+
+    pairs = pages.select(
+        F.col(id_col).alias("src"),
+        F.explode(extract_anchors(F.col(html_col))).alias("pair"),
+    ).select(
+        "src",
+        F.split_part(F.col("pair"), F.lit("\t"), F.lit(1)).alias("target"),
+        F.split_part(F.col("pair"), F.lit("\t"), F.lit(2)).alias("anchor"),
+    )
+    return pairs.groupBy("target").agg(
+        F.count("*").cast("long").alias("n_inlinks"),
+        F.count_distinct("src").cast("long").alias("n_srcs"),
+        F.concat_ws(
+            "|", F.slice(F.array_sort(F.collect_set("anchor")), 1, max_anchors)
+        ).alias("anchors_joined"),
+    )
+
+
 def pagerank(
     edges: DataFrame,  # src, dst (node ids; parallel edges count twice)
     n_iter: int = 5,

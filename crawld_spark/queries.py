@@ -2304,6 +2304,155 @@ def png_decode_roundtrip(spark, sf_dir):
     )
 
 
+# =====================================================================
+# 8. corpus rollups + link-graph anchor signal (operators/corpus, graph)
+# =====================================================================
+
+@q(
+    "host_stats",
+    # per-host curation prior: duplicate mass forced by giving every
+    # doc_id % 5 == 0 page identical boilerplate text (those pages all land
+    # on host sub0.siteX, so each such host sees a real digest collision)
+    f"""
+    WITH d AS (
+      SELECT {_HOST_SYNTH_SQL} AS host,
+             md5(CASE WHEN doc_id % 5 = 0 THEN 'BOILER' ELSE text END) AS dig,
+             lang, n_chars
+      FROM documents
+    ), g AS (
+      SELECT host, dig, count(*) AS cnt, sum(n_chars) AS chars
+      FROM d GROUP BY host, dig
+    ), h AS (
+      SELECT host, CAST(sum(cnt) AS BIGINT) AS n_docs,
+             CAST(sum(chars) AS BIGINT) AS total_chars,
+             CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+               AS dup_docs
+      FROM g GROUP BY host
+    ), l AS (
+      SELECT host, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM d GROUP BY host
+    )
+    SELECT host, n_docs, total_chars, dup_docs, n_langs
+    FROM h JOIN l USING (host)
+    """,
+)
+def host_stats(spark, sf_dir):
+    """Per-host curation rollup (operators/corpus.host_stats): doc count,
+    char mass, within-host exact-duplicate mass, language spread — the
+    FineWeb-style domain prior. Engine shuffles only (host, md5, ints);
+    text never moves."""
+    from crawld_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("sub"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".site"), (F.col("doc_id") % 11).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("BOILER"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "n_chars",
+    )
+    return corpus.host_stats(d)
+
+
+@q(
+    "snapshot_diff",
+    # two synthetic crawl snapshots of the same URL space: doc_id%10==0
+    # absent from old (-> added), %10==1 absent from new (-> removed),
+    # %7==0 re-fetched with different bytes (-> changed)
+    """
+    WITH o AS (
+      SELECT 'http://d/' || doc_id AS url, md5(text) AS old_digest
+      FROM documents WHERE doc_id % 10 <> 0
+    ), n AS (
+      SELECT 'http://d/' || doc_id AS url,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || 'v2' ELSE text END)
+               AS new_digest
+      FROM documents WHERE doc_id % 10 <> 1
+    )
+    SELECT coalesce(o.url, n.url) AS url,
+      CASE WHEN old_digest IS NULL THEN 'added'
+           WHEN new_digest IS NULL THEN 'removed'
+           WHEN old_digest = new_digest THEN 'unchanged'
+           ELSE 'changed' END AS status,
+      coalesce(old_digest, '') AS old_digest,
+      coalesce(new_digest, '') AS new_digest
+    FROM o FULL OUTER JOIN n ON o.url = n.url
+    """,
+)
+def snapshot_diff(spark, sf_dir):
+    """Cross-snapshot recrawl diff (operators/corpus.snapshot_diff): one
+    full-outer equi-join on the URL key, digest-only payloads (~50
+    bytes/row regardless of page size). Feeds freshness.change_rates and
+    recrawl scheduling; the reference's per-repo clone-vs-update branch
+    (crawld.go:109-249) is the row-at-a-time form of this set operator."""
+    from crawld_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://d/"), F.col("doc_id").cast("string"))
+    old = d.where(F.col("doc_id") % 10 != 0).select(
+        url.alias("url"), F.md5("text").alias("dig")
+    )
+    new = d.where(F.col("doc_id") % 10 != 1).select(
+        url.alias("url"),
+        F.md5(
+            F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit("v2")))
+            .otherwise(F.col("text"))
+        ).alias("dig"),
+    )
+    # nulls (absent side) -> '' for the cross-engine compare, which sorts
+    # rows and cannot order None against str (module determinism rules)
+    return corpus.snapshot_diff(old, new).select(
+        "url",
+        "status",
+        F.coalesce("old_digest", F.lit("")).alias("old_digest"),
+        F.coalesce("new_digest", F.lit("")).alias("new_digest"),
+    )
+
+
+@q(
+    "anchor_text_agg",
+    # wrap_html renders anchor i as <a href="...">l{i}</a>; each doc links
+    # target doc_id%7 (anchor l0) and doc_id%13 (anchor l1), so targets
+    # 0..6 collect {l0,l1} and 7..12 only {l1}; docs with
+    # doc_id%7 == doc_id%13 link the same target twice from one src
+    # (n_inlinks counts both, n_srcs counts one)
+    """
+    WITH p AS (
+      SELECT doc_id AS src, 'http://t/' || (doc_id % 7) AS target,
+             'l0' AS anchor
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'http://t/' || (doc_id % 13), 'l1' FROM documents
+    )
+    SELECT target, CAST(count(*) AS BIGINT) AS n_inlinks,
+           CAST(count(DISTINCT src) AS BIGINT) AS n_srcs,
+           array_to_string(list_sort(list(DISTINCT anchor))[1:8], '|')
+             AS anchors_joined
+    FROM p GROUP BY target
+    """,
+)
+def anchor_text_agg(spark, sf_dir):
+    """Inbound anchor-text aggregation (operators/graph.anchor_text_agg):
+    how OTHER pages describe a URL — the classic off-page relevance signal
+    for frontier ranking. HTML is parsed executor-side in one Arrow hop;
+    only (target, short anchor) pairs shuffle."""
+    from crawld_spark.operators import graph
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://d/"), F.col("doc_id").cast("string"))
+    links = F.array(
+        F.concat(F.lit("http://t/"), (F.col("doc_id") % 7).cast("string")),
+        F.concat(F.lit("http://t/"), (F.col("doc_id") % 13).cast("string")),
+    )
+    pages = d.select("doc_id", wrap_html(url, F.col("text"), links).alias("html"))
+    return graph.anchor_text_agg(pages, html_col="html", id_col="doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_Q)
 

@@ -1,0 +1,105 @@
+"""Engine tests for the corpus-level rollups (operators/corpus.py) and the
+inbound anchor-text aggregation (operators/graph.anchor_text_agg) — exact
+handcrafted goldens, independent of the oracle lanes in queries.py."""
+
+from pyspark.sql import functions as F
+
+from crawld_spark.functions.extract import extract_anchors_one, wrap_html_one
+from crawld_spark.operators import corpus
+from crawld_spark.operators.graph import anchor_text_agg
+
+
+class TestHostStats:
+    def test_exact_rollup(self, spark):
+        rows = [
+            # host a: 4 docs, text "x" appears 3 times -> dup_docs 3, 2 langs
+            (1, "x", "en", 10, "a"),
+            (2, "x", "en", 20, "a"),
+            (3, "x", "de", 30, "a"),
+            (4, "y", "en", 40, "a"),
+            # host b: 2 docs, no collisions -> dup_docs 0, 1 lang
+            (5, "p", "en", 5, "b"),
+            (6, "q", "en", 6, "b"),
+        ]
+        d = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, n_chars long, host string"
+        )
+        got = {
+            r["host"]: r.asDict()
+            for r in corpus.host_stats(d).collect()
+        }
+        assert got["a"] == {
+            "host": "a", "n_docs": 4, "total_chars": 100,
+            "dup_docs": 3, "n_langs": 2,
+        }
+        assert got["b"] == {
+            "host": "b", "n_docs": 2, "total_chars": 11,
+            "dup_docs": 0, "n_langs": 1,
+        }
+
+    def test_same_text_different_host_not_dup(self, spark):
+        # within-host semantics: identical text on two hosts is NOT counted
+        d = spark.createDataFrame(
+            [(1, "x", "en", 1, "a"), (2, "x", "en", 1, "b")],
+            "doc_id long, text string, lang string, n_chars long, host string",
+        )
+        assert all(
+            r["dup_docs"] == 0 for r in corpus.host_stats(d).collect()
+        )
+
+
+class TestSnapshotDiff:
+    def test_all_four_statuses(self, spark):
+        old = spark.createDataFrame(
+            [("u1", "d1"), ("u2", "d2"), ("u3", "d3")], "url string, dig string"
+        )
+        new = spark.createDataFrame(
+            [("u1", "d1"), ("u2", "dX"), ("u4", "d4")], "url string, dig string"
+        )
+        got = {
+            r["url"]: (r["status"], r["old_digest"], r["new_digest"])
+            for r in corpus.snapshot_diff(old, new).collect()
+        }
+        assert got == {
+            "u1": ("unchanged", "d1", "d1"),
+            "u2": ("changed", "d2", "dX"),
+            "u3": ("removed", "d3", None),
+            "u4": ("added", None, "d4"),
+        }
+
+
+class TestAnchorText:
+    def test_extract_anchors_unescapes(self):
+        html = (
+            b'<html><body><a href="http://a/1">A &amp; B</a>'
+            b'<a href="http://a/2">plain</a></body></html>'
+        )
+        assert extract_anchors_one(html) == [
+            "http://a/1\tA & B",
+            "http://a/2\tplain",
+        ]
+        assert extract_anchors_one(None) is None
+
+    def test_agg_counts_and_cap(self, spark):
+        # wrap_html renders anchor i as l{i}; build 10 pages that all link
+        # target T (10 distinct anchors l0..l9 via per-page position), plus
+        # one page linking T twice (same src, n_inlinks +2 / n_srcs +1)
+        pages = []
+        for i in range(10):
+            # pad with i unique-target links so T's anchor index varies
+            links = [f"http://pad/{i}/{j}" for j in range(i)] + ["http://T/"]
+            pages.append((i, wrap_html_one(f"http://src/{i}", "t", links)))
+        pages.append((99, wrap_html_one("http://src/99", "t", ["http://T/"] * 2)))
+        df = spark.createDataFrame(pages, "doc_id long, html binary")
+        got = {
+            r["target"]: r.asDict()
+            for r in anchor_text_agg(df, max_anchors=8).collect()
+        }
+        t = got["http://T/"]
+        assert t["n_inlinks"] == 12  # 10 pages + 1 page twice
+        assert t["n_srcs"] == 11
+        # distinct anchors are l0..l9 (page 99 re-adds l0/l1); sorted set
+        # is l0,l1,...,l9 -> capped at 8 entries
+        assert t["anchors_joined"] == "l0|l1|l2|l3|l4|l5|l6|l7"
+        # a pad target has exactly one inlink
+        assert got["http://pad/5/0"]["n_inlinks"] == 1
