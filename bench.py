@@ -76,6 +76,11 @@ HEADLINE = [
     "pagerank",
     "recrawl_priority",
     "sitemap_roundtrip",
+    "host_stats",
+    "snapshot_diff",
+    "anchor_text_agg",
+    "ann_pq_adc",
+    "ann_pq_rerank",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

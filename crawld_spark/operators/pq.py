@@ -1,0 +1,315 @@
+"""Product quantization (PQ): compressed embedding codes + ADC top-k search.
+
+The missing tier of the ANN family (brute / IVF / k-means IVF / SRP already
+exist in operators/similarity.py). At 10^10 vectors the embedding column
+itself is the storage and scan bottleneck — 64 float32 dims = 256 bytes/row,
+~2.5 PB at corpus scale. PQ stores ``m`` small codes per vector instead
+(here 8 codes of 4 bits each): the corpus-side scan reads an
+``array<int>`` of m entries, a 16-64× reduction, and search scores against
+the codes without ever touching the original vectors (FAISS's IVFADC design,
+Jégou et al., "Product Quantization for Nearest Neighbor Search", 2011).
+
+Three operators:
+
+- :func:`pq_train` — per-subspace deterministic Lloyd k-means (ksub
+  codewords over each of the m dim/m-wide subvector spaces). Same
+  determinism contract as similarity.kmeans_assign: md5-ranked seeds, exact
+  int64 arithmetic, floor-mean centroid updates, empty cells keep their
+  codeword. Returns plain Python ints (m × ksub × dsub), driver-bounded.
+- :func:`pq_encode` — vector → m nearest-codeword codes. Pure projection:
+  the argmin over ksub codewords is a literal struct-array ``array_min``
+  (similarity.nearest_cell_label's idiom), so encoding is exchange-free and
+  whole-stage-codegen'd; nothing shuffles.
+- :func:`pq_topk_adc` — asymmetric-distance top-k. Each query precomputes
+  its LUT **once on the broadcast side**: ``lut[s*ksub + c] = dot(q_s,
+  codeword_{s,c})`` (m·ksub int64 entries per query). The corpus side then
+  scores a row with m array lookups + adds — never a dot product, and never
+  the raw vector: the scan's ReadSchema is ``(nid, codes)`` only. Scores
+  are approximate cosine ``adc / (|q|·|recon|)`` with the reconstruction
+  norm also a LUT lookup (exact ints → one IEEE double division, the
+  cross-engine determinism contract of operators/similarity.py).
+
+Scale shape: train = n_iter × (one exploded (s, code, pos) partial-agg
+shuffle, m·dim-bounded collect); encode = zero exchanges; search = one
+broadcast nested-loop over the code column + a per-query-bounded windowed
+top-k — the same shape as brute_force_topk but moving m ints per row
+instead of dim floats. Compose behind similarity.kmeans_assign's coarse
+cells for IVF-PQ (probe cells first, ADC inside probed cells only).
+
+Reference parity note: the reference engine has no vector search; this is
+part of the training-data-pipeline family the graft adds (SURVEY.md §2's
+complement), sized for the 100 TB corpus target.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crawld_spark.operators.similarity import dot_i, norm2_i, quantize
+
+Book = list[list[int]]  # book[code] = dsub ints (one subspace's codewords)
+
+
+def _sub(qv: Column, s: int, dsub: int) -> Column:
+    """Subvector s of a quantized vector (1-based slice, length dsub)."""
+    return F.slice(qv, s * dsub + 1, dsub)
+
+
+def _lit_vec(v: list[int]) -> Column:
+    return F.array(*[F.lit(int(x)) for x in v])
+
+
+def _code_expr(sv: Column, book: Book) -> Column:
+    """Nearest codeword for one subvector by exact L2 argmin as ONE
+    expression: d(x,c) = |x|^2 - 2 x·c + |c|^2, and |x|^2 is constant
+    across the argmin, so ``argmin(|c|^2 - 2 x·c)`` — pure int64. Ties
+    break toward the LOWEST code via struct ordering."""
+    cands = []
+    for code, cv in enumerate(book):
+        d = F.lit(int(sum(x * x for x in cv))) - 2 * dot_i(sv, _lit_vec(cv))
+        cands.append(F.struct(d.alias("d"), F.lit(code).alias("c")))
+    return F.array_min(F.array(*cands)).getField("c")
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[Book]:
+    """Train per-subspace codebooks; returns ``books[s][code] = dsub ints``.
+
+    All m subspaces train in the SAME jobs: each iteration assigns codes
+    for every subspace in one projection, explodes to ``(s, code,
+    subvector)`` rows, and runs one ``(s, code, pos)`` partial-aggregated
+    shuffle for the floor-mean update — iteration cost is independent of m
+    beyond row width. Codebooks travel driver→plan as literals (m·ksub·dsub
+    ints, a bounded collect like similarity.kmeans_assign's centroids), so
+    the loop adds no lineage growth.
+    """
+    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    qc = corpus.select(
+        F.col(id_col).alias("_id"), quantize(vec_col).alias("qv")
+    ).cache()
+    seeds = (
+        qc.select("qv", F.md5(F.col("_id").cast("string")).alias("_h"), "_id")
+        .orderBy(F.asc("_h"), F.asc("_id"))
+        .limit(ksub)
+        .collect()
+    )
+    if len(seeds) < ksub:
+        raise ValueError(f"corpus smaller than ksub={ksub}")
+    books: list[Book] = [
+        [[int(x) for x in r["qv"][s * dsub : (s + 1) * dsub]] for r in seeds]
+        for s in range(m)
+    ]
+
+    # n_iter ASSIGNMENT passes with n_iter-1 codeword updates between them
+    # (kmeans_assign's contract): the returned books are exactly the ones
+    # the final assignment uses, so pq_encode reproduces that assignment —
+    # and the DuckDB twin (queries._pq_ctes) scores a{n_iter} against
+    # book{n_iter-1} verbatim.
+    for _ in range(max(1, n_iter) - 1):
+        assigned = qc.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            _code_expr(_sub(F.col("qv"), s, dsub), books[s]).alias(
+                                "code"
+                            ),
+                            _sub(F.col("qv"), s, dsub).alias("sv"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("a")
+        ).select("a.s", "a.code", "a.sv")
+        stats = (
+            assigned.select("s", "code", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("s", "code", "pos")
+            .agg(F.sum("v").alias("sm"), F.count("*").alias("n"))
+            .groupBy("s", "code")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "sm"))).alias("ps"),
+                F.first("n").alias("n"),
+            )
+            .collect()
+        )
+        # floor-mean (Python // floors toward -inf; the oracle mirrors it
+        # with (s - ((s%n+n)%n)) // n); empty cells keep their codeword
+        new: dict[tuple[int, int], list[int]] = {
+            (int(r["s"]), int(r["code"])): [
+                int(p["sm"]) // int(r["n"]) for p in r["ps"]
+            ]
+            for r in stats
+        }
+        books = [
+            [new.get((s, c), cv) for c, cv in enumerate(books[s])]
+            for s in range(m)
+        ]
+    qc.unpersist()
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[Book],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec) → (id, codes array<int> of length m). Exchange-free
+    projection; at rest the codes column is what a 100 TB corpus persists
+    (m small ints/row instead of the dim·4-byte vector)."""
+    m = len(books)
+    dsub = len(books[0][0])
+    qv = quantize(vec_col)
+    return corpus.select(
+        F.col(id_col),
+        F.array(
+            *[_code_expr(_sub(qv, s, dsub), books[s]) for s in range(m)]
+        ).alias("codes"),
+    )
+
+
+def pq_topk_adc(
+    queries: DataFrame,  # id_col + vec_col (small, broadcast by contract)
+    codes: DataFrame,  # id_col + codes (pq_encode output)
+    books: list[Book],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: ``(qid, rank, nid, cos)`` with cos the
+    approximate cosine against the RECONSTRUCTED neighbor (exact int
+    arithmetic, one double division — bit-stable across engines).
+
+    The per-query LUT (m·ksub dot products) is computed once per QUERY row
+    before the broadcast; corpus-row cost is m ``element_at`` lookups.
+    """
+    m = len(books)
+    ksub = len(books[0])
+    dsub = len(books[0][0])
+
+    qv = quantize(vec_col)
+    # lut[s*ksub + c] = dot(q_s, codeword_{s,c}); computed on the Q-row side
+    lut = F.flatten(
+        F.array(
+            *[
+                F.array(
+                    *[dot_i(_sub(qv, s, dsub), _lit_vec(cv)) for cv in books[s]]
+                )
+                for s in range(m)
+            ]
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        lut.alias("lut"),
+        norm2_i(qv).alias("nq"),
+    )
+    # reconstruction norm: |recon|^2 = sum_s |codeword_{s,code_s}|^2, also a
+    # literal lookup (norms[s*ksub + c]), so the corpus row never rebuilds
+    # the vector
+    norms = F.array(
+        *[
+            F.lit(int(sum(x * x for x in cv)))
+            for s in range(m)
+            for cv in books[s]
+        ]
+    )
+    idx = [
+        (F.lit(s * ksub) + F.element_at("codes", s + 1) + 1).cast("int")
+        for s in range(m)
+    ]
+    adc = None
+    nrec = None
+    for s in range(m):
+        term = F.element_at(F.col("lut"), idx[s])
+        nterm = F.element_at(norms, idx[s])
+        adc = term if adc is None else adc + term
+        nrec = nterm if nrec is None else nrec + nterm
+
+    scored = (
+        codes.select(F.col(id_col).alias("nid"), "codes")
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "cos",
+            adc
+            / (
+                F.sqrt(F.col("nq").cast("double"))
+                * F.sqrt(
+                    F.when(nrec <= 0, F.lit(1)).otherwise(nrec).cast("double")
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "nid", F.round("cos", 6).alias("cos"))
+    )
+
+
+def pq_topk_rerank(
+    queries: DataFrame,  # id_col + vec_col (small, broadcast by contract)
+    corpus: DataFrame,  # id_col + vec_col (the raw-vector table)
+    books: list[Book],
+    k: int = 5,
+    rfactor: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """PQ-filter + exact re-rank — how PQ is actually deployed at corpus
+    scale: the compressed-code scan (``pq_topk_adc``) retrieves
+    ``k·rfactor`` candidates per query, then ONLY those rows' raw vectors
+    are scored exactly and the true top-k kept. Quantization noise costs
+    recall only when a true neighbor falls outside the top ``k·rfactor``
+    ADC candidates, so recall→1 as rfactor grows while the exact-scoring
+    cost stays Q·k·rfactor rows — never N.
+
+    Plan shape: the candidate set (Q·k·rfactor rows of (qid, nid)) is
+    broadcast INTO the raw-vector scan as a hash-join build side, so the
+    big table never shuffles and is touched exactly once. Pass ``codes``
+    when the encoded table is already persisted (the production case);
+    otherwise it is derived from ``corpus`` inline.
+    """
+    if codes is None:
+        codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+    cands = pq_topk_adc(
+        queries, codes, books, k=k * rfactor, id_col=id_col, vec_col=vec_col
+    ).select("qid", "nid")
+    q = queries.select(
+        F.col(id_col).alias("qid"), quantize(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("nid"), quantize(vec_col).alias("nv"))
+    exact = (
+        c.join(F.broadcast(cands), "nid")
+        .join(F.broadcast(q), "qid")
+        .withColumn(
+            "cos",
+            dot_i(F.col("qv"), F.col("nv"))
+            / (
+                F.sqrt(norm2_i(F.col("qv")).cast("double"))
+                * F.sqrt(norm2_i(F.col("nv")).cast("double"))
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "nid", F.round("cos", 6).alias("cos"))
+    )

@@ -2304,6 +2304,178 @@ def png_decode_roundtrip(spark, sf_dir):
     )
 
 
+def _pq_ctes(m: int, ksub: int, n_iter: int, dim: int) -> list[str]:
+    """CTE chain replaying pq.pq_train + pq_encode + the per-(qid, nid) ADC
+    scores, verbatim: md5-ranked seed rows (subvector slices), per
+    iteration one L2-argmin assignment over (vec_id, subspace) and one
+    floor-mean codeword update, then ADC = sum over subspaces of
+    dot(query subvector, assigned codeword). Ends with CTE ``adcs``
+    (qid, nid, adc, nrec) and ``qn`` (qid, nq)."""
+    dsub = dim // m
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(1, {dsub + 1}),"
+            f" i -> {a}[i] * {b}[i])) AS BIGINT)"
+        )
+
+    def nsq(a: str) -> str:
+        return f"CAST(list_sum(list_transform({a}, x -> x * x)) AS BIGINT)"
+
+    mean = "(sm - ((sm % n + n) % n)) // n"
+    subspaces = f"(SELECT unnest(generate_series(0, {m - 1})) AS s)"
+    ctes = [
+        f"q AS (SELECT vec_id AS qid, {_QUANT_SQL} AS qv FROM embeddings WHERE vec_id < 3)",
+        f"c AS (SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings WHERE vec_id >= 3)",
+        f"""book0 AS (
+      SELECT t.s, sd.code, sd.qv[t.s * {dsub} + 1 : (t.s + 1) * {dsub}] AS cv
+      FROM (
+        SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                    AS INT) AS code, qv
+        FROM c) sd CROSS JOIN {subspaces} t
+      WHERE sd.code < {ksub})""",
+        f"""sub AS (
+      SELECT vec_id, t.s, qv[t.s * {dsub} + 1 : (t.s + 1) * {dsub}] AS sv
+      FROM c CROSS JOIN {subspaces} t)""",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""a{i} AS (
+      SELECT vec_id, s, sv, code FROM (
+        SELECT sub.vec_id, sub.s, sub.sv, b.code,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                                  ORDER BY {nsq('b.cv')} - 2 * {dot('sub.sv', 'b.cv')} ASC,
+                                           b.code) AS r
+        FROM sub JOIN book{i - 1} b ON b.s = sub.s) WHERE r = 1)"""
+        )
+        if i < n_iter:
+            ctes.append(
+                f"""u{i} AS (
+      SELECT s, code, list({mean} ORDER BY pos) AS cv FROM (
+        SELECT s, code, pos, CAST(sum(v) AS BIGINT) AS sm, count(*) AS n
+        FROM (SELECT s, code, unnest(sv) AS v,
+                     unnest(generate_series(1, len(sv))) AS pos FROM a{i})
+        GROUP BY s, code, pos)
+      GROUP BY s, code)"""
+            )
+            ctes.append(
+                f"""book{i} AS (
+      SELECT p.s, p.code, coalesce(u.cv, p.cv) AS cv
+      FROM book{i - 1} p LEFT JOIN u{i} u ON u.s = p.s AND u.code = p.code)"""
+            )
+    ctes += [
+        f"enc AS (SELECT vec_id, s, code FROM a{n_iter})",
+        f"""qsub AS (
+      SELECT qid, t.s, qv[t.s * {dsub} + 1 : (t.s + 1) * {dsub}] AS sv
+      FROM q CROSS JOIN {subspaces} t)""",
+        f"qn AS (SELECT qid, {nsq('qv')} AS nq FROM q)",
+        f"""terms AS (
+      SELECT qs.qid, e.vec_id AS nid,
+             {dot('qs.sv', 'b.cv')} AS pd, {nsq('b.cv')} AS pn
+      FROM enc e JOIN book{n_iter - 1} b ON b.s = e.s AND b.code = e.code
+      JOIN qsub qs ON qs.s = e.s)""",
+        """adcs AS (
+      SELECT qid, nid, CAST(sum(pd) AS BIGINT) AS adc,
+             CAST(sum(pn) AS BIGINT) AS nrec
+      FROM terms GROUP BY qid, nid)""",
+    ]
+    return ctes
+
+
+_PQ_M, _PQ_KSUB, _PQ_ITER, _PQ_DIM = 4, 8, 2, 64
+_PQ_COS = (
+    "adc / (sqrt(CAST(nq AS DOUBLE)) *"
+    " sqrt(CAST(CASE WHEN nrec <= 0 THEN 1 ELSE nrec END AS DOUBLE)))"
+)
+
+
+def _pq_adc_sql() -> str:
+    ctes = _pq_ctes(_PQ_M, _PQ_KSUB, _PQ_ITER, _PQ_DIM)
+    ctes.append(
+        f"""ranked AS (
+      SELECT a.qid, nid, {_PQ_COS} AS cos,
+             row_number() OVER (PARTITION BY a.qid
+                                ORDER BY {_PQ_COS} DESC, nid) AS rank
+      FROM adcs a JOIN qn ON qn.qid = a.qid)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    SELECT qid, rank, nid, round(cos, 6) AS cos FROM ranked WHERE rank <= 5"
+    )
+
+
+def _pq_rerank_sql(k: int = 5, rfactor: int = 3) -> str:
+    ctes = _pq_ctes(_PQ_M, _PQ_KSUB, _PQ_ITER, _PQ_DIM)
+    dim = _PQ_DIM
+
+    def dotf(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(1, {dim + 1}),"
+            f" i -> {a}[i] * {b}[i])) AS BIGINT)"
+        )
+
+    def nsqf(a: str) -> str:
+        return f"CAST(list_sum(list_transform({a}, x -> x * x)) AS BIGINT)"
+
+    ctes += [
+        f"""cand AS (
+      SELECT qid, nid FROM (
+        SELECT a.qid, nid,
+               row_number() OVER (PARTITION BY a.qid
+                                  ORDER BY {_PQ_COS} DESC, nid) AS r
+        FROM adcs a JOIN qn ON qn.qid = a.qid) WHERE r <= {k * rfactor})""",
+        f"""exact AS (
+      SELECT cand.qid, cand.nid,
+             {dotf('q.qv', 'c.qv')} /
+               (sqrt(CAST({nsqf('q.qv')} AS DOUBLE)) *
+                sqrt(CAST({nsqf('c.qv')} AS DOUBLE))) AS cos
+      FROM cand JOIN q ON q.qid = cand.qid JOIN c ON c.vec_id = cand.nid)""",
+        """rr AS (
+      SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      FROM exact)""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT qid, rank, nid, round(cos, 6) AS cos FROM rr WHERE rank <= {k}"
+    )
+
+
+@q("ann_pq_adc", _pq_adc_sql())
+def ann_pq_adc(spark, sf_dir):
+    """Product-quantization ADC top-k (operators/pq.py): the corpus is
+    searched through its m-code compressed form — per-row cost is m array
+    lookups against the query's precomputed LUT, and only the codes column
+    travels. The oracle replays the deterministic per-subspace training,
+    encoding, and ADC scoring verbatim in SQL."""
+    from crawld_spark.operators import pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 3)
+    qs = emb.where(F.col("vec_id") < 3)
+    books = pq.pq_train(corpus, m=_PQ_M, ksub=_PQ_KSUB, n_iter=_PQ_ITER)
+    codes = pq.pq_encode(corpus, books)
+    return pq.pq_topk_adc(qs, codes, books, k=5)
+
+
+@q("ann_pq_rerank", _pq_rerank_sql())
+def ann_pq_rerank(spark, sf_dir):
+    """PQ-filter + exact re-rank (operators/pq.pq_topk_rerank) — the
+    deployed form at 10^10 vectors: ADC over compressed codes retrieves
+    k*rfactor candidates, then only those rows' raw vectors are scored
+    exactly (candidates broadcast into the raw-vector scan; the big table
+    never shuffles)."""
+    from crawld_spark.operators import pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 3)
+    qs = emb.where(F.col("vec_id") < 3)
+    books = pq.pq_train(corpus, m=_PQ_M, ksub=_PQ_KSUB, n_iter=_PQ_ITER)
+    return pq.pq_topk_rerank(qs, corpus, books, k=5, rfactor=3)
+
+
 # =====================================================================
 # 8. corpus rollups + link-graph anchor signal (operators/corpus, graph)
 # =====================================================================

@@ -1,0 +1,144 @@
+"""Engine tests for product quantization (operators/pq.py): deterministic
+training, exact ADC arithmetic (numpy replay), plan shape (encode is
+exchange-free; rerank broadcasts candidates into the raw-vector scan), and
+recall behavior of the filter-then-rerank composition."""
+
+import numpy as np
+import pytest
+
+from crawld_spark.operators import pq, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def split(emb):
+    return emb.where("vec_id < 3"), emb.where("vec_id >= 3")
+
+
+@pytest.fixture(scope="module")
+def books(split):
+    _, corpus = split
+    return pq.pq_train(corpus, m=8, ksub=16, n_iter=3)
+
+
+class TestPQTrain:
+    def test_deterministic(self, split, books):
+        _, corpus = split
+        again = pq.pq_train(corpus, m=8, ksub=16, n_iter=3)
+        assert books == again
+
+    def test_shape_and_bounds(self, books):
+        assert len(books) == 8
+        assert all(len(b) == 16 for b in books)
+        assert all(len(cv) == 8 for b in books for cv in b)
+        # floor-mean codewords stay bounded by the quantization scale —
+        # the int64-overflow-proof property (coordinates never exceed Q·1)
+        assert all(abs(x) <= similarity.Q for b in books for cv in b for x in cv)
+
+    def test_rejects_bad_m(self, split):
+        _, corpus = split
+        with pytest.raises(ValueError, match="not divisible"):
+            pq.pq_train(corpus, m=7)
+
+
+class TestPQEncode:
+    def test_codes_in_range_and_plan_exchange_free(self, split, books):
+        _, corpus = split
+        codes = pq.pq_encode(corpus, books)
+        plan = codes._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # pure projection
+        rows = codes.collect()
+        assert all(len(r.codes) == 8 for r in rows)
+        assert all(0 <= c < 16 for r in rows for c in r.codes)
+
+    def test_encode_matches_numpy_argmin(self, split, books):
+        _, corpus = split
+        got = {r.vec_id: list(r.codes) for r in pq.pq_encode(corpus, books).collect()}
+        sample = corpus.orderBy("vec_id").limit(20).collect()
+        for r in sample:
+            qv = np.floor(np.asarray(r.embedding, dtype=np.float64) * 10000).astype(
+                np.int64
+            )
+            for s in range(8):
+                sv = qv[s * 8 : (s + 1) * 8]
+                # d = |c|^2 - 2 x·c, ties -> lowest code
+                best = min(
+                    (int(np.asarray(cv) @ np.asarray(cv) - 2 * (sv @ np.asarray(cv))), c)
+                    for c, cv in enumerate(books[s])
+                )[1]
+                assert got[r.vec_id][s] == best, (r.vec_id, s)
+
+
+class TestPQSearch:
+    def test_adc_matches_numpy_replay(self, split, books):
+        queries, corpus = split
+        codes = pq.pq_encode(corpus, books)
+        got = pq.pq_topk_adc(queries, codes, books, k=5).collect()
+        cd = {r.vec_id: list(r.codes) for r in codes.collect()}
+        cs = sorted(cd)
+        qs = {
+            r.vec_id: np.floor(
+                np.asarray(r.embedding, dtype=np.float64) * 10000
+            ).astype(np.int64)
+            for r in queries.collect()
+        }
+
+        def recon(nid):
+            return np.concatenate([np.asarray(books[s][cd[nid][s]]) for s in range(8)])
+
+        for qid, qv in qs.items():
+            scores = {}
+            for nid in cs:
+                rv = recon(nid)
+                scores[nid] = (qv @ rv) / (
+                    np.sqrt(qv @ qv) * np.sqrt(max(rv @ rv, 1))
+                )
+            want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+            mine = [(r.nid, r.cos) for r in sorted(got, key=lambda r: r.rank) if r.qid == qid]
+            assert [n for n, _ in want] == [n for n, _ in mine]
+            for (_, wv), (_, gv) in zip(want, mine):
+                assert round(float(wv), 6) == gv
+
+    def test_rerank_recall_dominates_adc(self, split, books):
+        queries, corpus = split
+        codes = pq.pq_encode(corpus, books)
+        brute = {}
+        for r in similarity.brute_force_topk(queries, corpus, k=5).collect():
+            brute.setdefault(r.qid, set()).add(r.nid)
+
+        def recall(df):
+            c = {}
+            for r in df.collect():
+                c.setdefault(r.qid, set()).add(r.nid)
+            return sum(len(c[q] & brute[q]) for q in brute) / sum(
+                len(b) for b in brute.values()
+            )
+
+        adc = recall(pq.pq_topk_adc(queries, codes, books, k=5))
+        rr5 = recall(pq.pq_topk_rerank(queries, corpus, books, k=5, rfactor=5, codes=codes))
+        rr10 = recall(pq.pq_topk_rerank(queries, corpus, books, k=5, rfactor=10, codes=codes))
+        # exact values are deterministic on this corpus; assert the ordering
+        # (filter-then-rerank monotonically recovers recall) plus floors
+        # measured at pin time (adc 0.0 / rr5 0.4 / rr10 0.6)
+        assert adc <= rr5 <= rr10
+        assert rr5 >= 0.4 and rr10 >= 0.6
+
+    def test_rerank_broadcasts_candidates(self, split, books):
+        queries, corpus = split
+        out = pq.pq_topk_rerank(queries, corpus, books, k=5, rfactor=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # exact scores against the true vectors, so every returned cos must
+        # equal the brute-force cos for that (qid, nid)
+        brute = {
+            (r.qid, r.nid): r.cos
+            for r in similarity.brute_force_topk(queries, corpus, k=500).collect()
+        }
+        for r in out.collect():
+            assert brute[(r.qid, r.nid)] == r.cos
