@@ -81,6 +81,7 @@ HEADLINE = [
     "anchor_text_agg",
     "ann_pq_adc",
     "ann_pq_rerank",
+    "perplexity_buckets",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

@@ -520,6 +520,50 @@ def lm_bigram_scores(
     )
 
 
+def perplexity_buckets(
+    scored: DataFrame,  # id_col + lang_col + score_col
+    lang_col: str = "lang",
+    score_col: str = "lm_score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's head/middle/tail corpus split, per language: tertile
+    thresholds of the LM familiarity score computed WITHIN each language,
+    then each document labeled by which third it falls in (``head`` =
+    most-familiar third = lowest perplexity — the slice CCNet keeps for LM
+    training; thresholds are per-language because raw LM scores are not
+    comparable across languages). Returns ``(id_col, lang_col, score_col,
+    lo_thresh, hi_thresh, bucket)``.
+
+    Scale shape: one groupBy(lang) exact-percentile aggregate — languages
+    are few, so the threshold frame is tiny and broadcast-joins back; the
+    labeling itself is a codegen projection. Exact ``percentile`` keeps a
+    value→count map per language (bounded by distinct score values); swap
+    ``approx_percentile`` for truly unbounded score domains. The same
+    interpolated-quantile definition as DuckDB's ``quantile_cont``
+    (cross-checked in the percentile_length_filter lane).
+    """
+    th = scored.groupBy(lang_col).agg(
+        F.expr(
+            f"percentile({score_col}, array(CAST(1 AS DOUBLE)/3,"
+            f" CAST(2 AS DOUBLE)/3))"
+        ).alias("_th")
+    )
+    v = F.col(score_col)
+    bucket = (
+        F.when(v >= F.element_at("_th", 2), F.lit("head"))
+        .when(v >= F.element_at("_th", 1), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.join(F.broadcast(th), lang_col).select(
+        id_col,
+        lang_col,
+        score_col,
+        F.round(F.element_at("_th", 1), 6).alias("lo_thresh"),
+        F.round(F.element_at("_th", 2), 6).alias("hi_thresh"),
+        bucket.alias("bucket"),
+    )
+
+
 # ---------------------------------------------------------------------
 # feature-hashing linear quality classifier (fastText/VW-style inference)
 # ---------------------------------------------------------------------

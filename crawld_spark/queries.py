@@ -2304,6 +2304,56 @@ def png_decode_roundtrip(spark, sf_dir):
     )
 
 
+@q(
+    "perplexity_buckets",
+    # lm_familiarity's bigram-LM scores -> per-language tertile thresholds
+    # (quantile_cont ≡ Spark's exact interpolated percentile) -> bucket
+    """
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), b AS (
+      SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS bg
+      FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+    ), cb AS (
+      SELECT bg, any_value(w1) AS w1, count(*) AS cb FROM b GROUP BY bg
+    ), cw AS (
+      SELECT w1, count(*) AS cw FROM b GROUP BY w1
+    ), m AS (
+      SELECT bg, CAST(floor(ln(cb * 1.0 / cw) * 1000000.0) AS BIGINT) AS qlp
+      FROM cb JOIN cw USING (w1)
+    ), sc AS (
+      SELECT b.doc_id, d.lang,
+             round(CAST(sum(qlp) AS BIGINT) * 1.0 / count(*) / 1000000.0, 6)
+               AS lm_score
+      FROM b JOIN m USING (bg) JOIN documents d ON d.doc_id = b.doc_id
+      GROUP BY b.doc_id, d.lang
+    ), th AS (
+      SELECT lang,
+             quantile_cont(lm_score, [CAST(1 AS DOUBLE)/3,
+                                      CAST(2 AS DOUBLE)/3]) AS t
+      FROM sc GROUP BY lang
+    )
+    SELECT doc_id, sc.lang, lm_score,
+           round(t[1], 6) AS lo_thresh, round(t[2], 6) AS hi_thresh,
+           CASE WHEN lm_score >= t[2] THEN 'head'
+                WHEN lm_score >= t[1] THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM sc JOIN th ON th.lang = sc.lang
+    """,
+)
+def perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail corpus split (textstats.perplexity_buckets)
+    over the self-trained bigram-LM familiarity score, thresholds computed
+    per language — the standard perplexity-bucketed quality partition of a
+    web corpus before LM training."""
+    d = _t(spark, sf_dir, "documents")
+    scored = textstats.lm_bigram_scores(d).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    return textstats.perplexity_buckets(scored)
+
+
 def _pq_ctes(m: int, ksub: int, n_iter: int, dim: int) -> list[str]:
     """CTE chain replaying pq.pq_train + pq_encode + the per-(qid, nid) ADC
     scores, verbatim: md5-ranked seed rows (subvector slices), per

@@ -1035,6 +1035,56 @@ class TestPercentileLengthFilter:
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
 
 
+class TestPerplexityBuckets:
+    """textstats.perplexity_buckets (oracled via the perplexity_buckets
+    lane; these pin tertile arithmetic and per-language independence)."""
+
+    def test_hand_computed_tertiles(self, spark):
+        from crawld_spark.operators.textstats import perplexity_buckets
+
+        # scores 1..10 in one language: tertiles at 4.0 and 7.0
+        docs = spark.createDataFrame(
+            [(i, "en", float(i)) for i in range(1, 11)],
+            "doc_id long, lang string, lm_score double",
+        )
+        got = {r.doc_id: r for r in perplexity_buckets(docs).collect()}
+        assert got[1].lo_thresh == 4.0 and got[1].hi_thresh == 7.0
+        assert got[3].bucket == "tail"    # 3 < 4
+        assert got[4].bucket == "middle"  # 4 >= 4 (boundary inclusive)
+        assert got[7].bucket == "head"    # 7 >= 7 (boundary inclusive)
+        assert got[10].bucket == "head"
+        assert sum(r.bucket == "head" for r in got.values()) == 4
+
+    def test_languages_are_independent(self, spark):
+        from crawld_spark.operators.textstats import perplexity_buckets
+
+        # de scores sit entirely below en scores; per-language thresholds
+        # must still split each language into thirds (a global threshold
+        # would label every de row 'tail')
+        rows = [(i, "en", float(100 + i)) for i in range(9)] + [
+            (100 + i, "de", float(i)) for i in range(9)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, lang string, lm_score double"
+        )
+        got = perplexity_buckets(docs).collect()
+        for lang in ("en", "de"):
+            bs = [r.bucket for r in got if r.lang == lang]
+            assert sorted(set(bs)) == ["head", "middle", "tail"], (lang, bs)
+
+    def test_threshold_frame_broadcasts(self, spark):
+        from crawld_spark.operators.textstats import perplexity_buckets
+
+        docs = spark.createDataFrame(
+            [(i, "en", float(i)) for i in range(9)],
+            "doc_id long, lang string, lm_score double",
+        )
+        plan = (
+            perplexity_buckets(docs)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan, plan
+
+
 class TestTfidfTopTerms:
     """textstats.tfidf_top_terms (oracled via the tfidf_top_terms lane;
     these pin the ranking arithmetic and the window discipline)."""
