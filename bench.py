@@ -82,6 +82,7 @@ HEADLINE = [
     "ann_pq_adc",
     "ann_pq_rerank",
     "perplexity_buckets",
+    "dedup_neardup_mark",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

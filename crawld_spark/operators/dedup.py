@@ -122,6 +122,53 @@ def minhash_candidate_groups(buckets: DataFrame, id_col: str = "doc_id") -> Data
     )
 
 
+def neardup_mark(
+    docs: DataFrame,
+    n_hashes: int = 4,
+    band_size: int = 2,
+    shingle_k: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prior_buckets: DataFrame | None = None,
+) -> DataFrame:
+    """Keep-first near-dup marking: ``(id_col, is_dup)`` with ``is_dup``
+    true iff some LSH band of the document is shared with a LOWER-id
+    document (the deterministic survivor rule of exact_dedup, applied to
+    MinHash bands) — or, when ``prior_buckets`` (band_id, band_key rows
+    from earlier data) is given, with ANY prior bucket.
+
+    This per-band min rule is the streaming-compatible near-dup contract:
+    a document's verdict depends only on documents with smaller ids, so
+    processing any id-ordered partition of the corpus incrementally
+    (streaming/neardup_stream.py) yields bit-identical verdicts to this
+    one-shot batch form — the property the parity tests pin. (The
+    transitive-closure variant — dup against the whole connected GROUP —
+    is dedup_clusters; this one is its prefix-stable companion.)
+
+    Scale: one (band_id, band_key) partial-agg shuffle for the band mins +
+    one equi-join back; only band digests and ids travel. ``prior_buckets``
+    joins on the same key — at 100 TB that table is the persisted LSH
+    index, bucket-partitioned, so the probe is partition-prunable.
+    """
+    bands = minhash_lsh_buckets(
+        docs, n_hashes, band_size, shingle_k, id_col, text_col
+    )
+    mins = bands.groupBy("band_id", "band_key").agg(
+        F.min(id_col).alias("_min_id")
+    )
+    j = bands.join(mins, ["band_id", "band_key"])
+    dup = F.col("_min_id") < F.col(id_col)
+    if prior_buckets is not None:
+        pri = (
+            prior_buckets.select("band_id", "band_key")
+            .distinct()
+            .withColumn("_prior", F.lit(True))
+        )
+        j = j.join(pri, ["band_id", "band_key"], "left")
+        dup = dup | F.coalesce(F.col("_prior"), F.lit(False))
+    return j.groupBy(id_col).agg(F.max(dup).alias("is_dup"))
+
+
 def connected_components(
     edges: DataFrame,  # columns: src, dst (long node ids; undirected pairs)
     max_iter: int = 25,

@@ -540,6 +540,29 @@ def dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_candidate_groups(buckets)
 
 
+@q(
+    "dedup_neardup_mark",
+    _MINHASH_SQL
+    + """
+    , mins AS (
+      SELECT band_id, band_key, min(doc_id) AS min_id
+      FROM bands GROUP BY band_id, band_key
+    )
+    SELECT b.doc_id, bool_or(min_id < b.doc_id) AS is_dup
+    FROM bands b JOIN mins USING (band_id, band_key)
+    GROUP BY b.doc_id
+    """,
+)
+def dedup_neardup_mark(spark, sf_dir):
+    """Keep-first near-dup verdicts (dedup.neardup_mark): dup ⟺ some
+    MinHash-LSH band is shared with a lower-id document. The prefix-stable
+    rule the streaming form (streaming/neardup_stream.py) applies
+    incrementally with bit-identical results."""
+    return dedup.neardup_mark(
+        _docs_with_dups(spark, sf_dir), n_hashes=4, band_size=2, shingle_k=2
+    )
+
+
 _SIMHASH_SQL = f"""
     WITH d AS ({_DOCS_WITH_DUPS}),
     tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM d),

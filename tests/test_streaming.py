@@ -200,3 +200,114 @@ class TestWarcStream:
 
         assert drain() == 10
         assert drain() == 10  # second pass: no new files, no new rows
+
+
+class TestNearDupStream:
+    """Incremental MinHash-LSH near-dup (streaming/neardup_stream.py):
+    any id-ordered micro-batch split must yield the batch neardup_mark
+    verdicts exactly; replays are idempotent; the persisted index marks
+    cross-batch duplicates."""
+
+    def _docs(self, spark):
+        # 30 docs; ids 100.. duplicate ids 0..9's text (cross-slice dups),
+        # ids 200.. are unique
+        base = [(i, f"alpha{i} beta{i} gamma{i} delta{i}") for i in range(10)]
+        dups = [(100 + i, t) for i, t in base]
+        uniq = [(200 + i, f"zeta{i} eta{i} theta{i} iota{i}") for i in range(10)]
+        return spark.createDataFrame(
+            base + dups + uniq, "doc_id long, text string"
+        )
+
+    def _stream_split(self, spark, tmp_path, docs, splits):
+        """Write id-ordered slices as parquet files with increasing mtimes
+        so the file source consumes them oldest-first, one per batch."""
+        import os
+        import time as _time
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path / "docs_in"
+        d.mkdir()
+        rows = sorted(docs.collect(), key=lambda r: r.doc_id)
+        lo = 0
+        t0 = _time.time() - 1000
+        for i, n in enumerate(splits):
+            part = rows[lo : lo + n]
+            tbl = pa.table(
+                {
+                    "doc_id": pa.array([r.doc_id for r in part], pa.int64()),
+                    "text": pa.array([r.text for r in part], pa.string()),
+                }
+            )
+            f = str(d / f"slice{i}.parquet")
+            pq.write_table(tbl, f)
+            os.utime(f, (t0 + i, t0 + i))
+            lo += n
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+
+    def test_stream_equals_batch_any_split(self, spark, tmp_path):
+        from crawld_spark.operators.dedup import neardup_mark
+        from crawld_spark.streaming.neardup_stream import StreamingNearDup
+
+        docs = self._docs(spark)
+        want = {
+            r.doc_id: r.is_dup for r in neardup_mark(docs).collect()
+        }
+        stream = self._stream_split(spark, tmp_path, docs, [7, 11, 12])
+        snd = StreamingNearDup(spark, str(tmp_path / "wh"))
+        snd.start(stream, str(tmp_path / "ckpt"), available_now=True)
+        got = {r.doc_id: r.is_dup for r in snd.decisions().collect()}
+        assert got == want
+        # the duplicated texts (ids 100..109) must be flagged, originals not
+        assert all(got[100 + i] for i in range(10))
+        assert not any(got[i] for i in range(10))
+        assert not any(got[200 + i] for i in range(10))
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        from crawld_spark.streaming.neardup_stream import StreamingNearDup
+
+        docs = self._docs(spark)
+        b0 = docs.where("doc_id < 10")
+        b1 = docs.where("doc_id >= 100 and doc_id < 110")
+        snd = StreamingNearDup(spark, str(tmp_path / "wh"))
+        snd._on_batch(b0, 0)
+        snd._on_batch(b1, 1)
+        first = sorted(
+            (r.doc_id, r.is_dup, r.batch_id) for r in snd.decisions().collect()
+        )
+        # full replay of both batches (checkpoint lost): no change
+        snd._on_batch(b0, 0)
+        snd._on_batch(b1, 1)
+        again = sorted(
+            (r.doc_id, r.is_dup, r.batch_id) for r in snd.decisions().collect()
+        )
+        assert first == again
+
+    def test_crash_between_appends_replays_correctly(self, spark, tmp_path):
+        """Simulate the bands-written-but-no-decisions crash state for a
+        batch: the replay must not count the batch's own bands as prior."""
+        from pyspark.sql import functions as F
+
+        from crawld_spark.streaming.neardup_stream import (
+            StreamingNearDup,
+            T_BUCKETS,
+        )
+
+        docs = self._docs(spark)
+        b0 = docs.where("doc_id < 10")
+        snd = StreamingNearDup(spark, str(tmp_path / "wh"))
+        # crash state: bands of batch 0 landed, decisions did not
+        bands = (
+            snd._bands(b0).select("band_id", "band_key").distinct()
+            .withColumn("src_batch", F.lit(0).cast("long"))
+        )
+        snd.cat.append(T_BUCKETS, bands)
+        snd._on_batch(b0, 0)  # replay
+        got = {r.doc_id: r.is_dup for r in snd.decisions().collect()}
+        # none of batch 0's docs may be flagged against their own bands
+        assert got == {i: False for i in range(10)}
