@@ -83,6 +83,7 @@ HEADLINE = [
     "ann_pq_rerank",
     "perplexity_buckets",
     "dedup_neardup_mark",
+    "jpeg_decode_roundtrip",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

@@ -58,7 +58,9 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_format(b: bytes) -> str | None:
-    """Container magic → 'bmp'|'ppm'|'pgm'|'wav'|'png'|'gif' | None."""
+    """Container magic → 'bmp'|'ppm'|'pgm'|'wav'|'png'|'gif'|'jpeg' | None."""
+    if len(b) >= 3 and b[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if len(b) >= 2 and b[:2] == b"BM":
         return "bmp"
     if len(b) >= 2 and b[:2] == b"P6":
@@ -605,6 +607,11 @@ def _decode_any(b: bytes) -> tuple[int, int, int, int, str]:
         if kind == "gif":
             w, h, c, _ = decode_gif(b)
             return len(b), w, h, c, "gif"
+        if kind == "jpeg":
+            from crawld_spark.operators.jpeg import decode_jpeg
+
+            w, h, c, _ = decode_jpeg(b)
+            return len(b), w, h, c, "jpeg"
     except (ValueError, struct.error, IndexError):
         # malformed or unsupported variant → stub lane. struct.error covers
         # truncated fixed-layout chunks (e.g. a WAV whose fmt chunk is

@@ -2698,6 +2698,73 @@ def anchor_text_agg(spark, sf_dir):
     return graph.anchor_text_agg(pages, html_col="html", id_col="doc_id")
 
 
+@q(
+    "jpeg_decode_roundtrip",
+    # REAL baseline-JPEG decoder gate (r4): the engine encodes a JPEG per
+    # doc — doc_id-derived geometry, alternating grayscale/RGB, 4:2:0
+    # subsampling on every third doc, Annex-K vs flat quant alternating —
+    # and decodes it back (full marker parse, DHT canonical Huffman,
+    # dequant + IDCT, chroma upsampling). n_bytes is entropy-stream
+    # dependent, so the oracle checks decoded geometry/channels/format;
+    # pixel-level tolerance is pinned by the engine tests
+    # (tests/test_similarity.py TestJpegCodec).
+    """
+    SELECT doc_id,
+           CAST(8 + doc_id % 21 AS INT) AS width,
+           CAST(8 + doc_id % 13 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
+           'jpeg' AS format
+    FROM documents
+    """,
+)
+def jpeg_decode_roundtrip(spark, sf_dir):
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from crawld_spark.operators.jpeg import encode_jpeg
+    from crawld_spark.operators.multimodal import decode_meta
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for i in b["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % 21, 8 + i % 13
+                yy, xx = np.mgrid[0:h, 0:w]
+                if i % 2 == 0:
+                    pix = np.stack(
+                        [(20 + 3 * xx + (k + 1) * yy) % 200 for k in range(3)],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    payloads.append(
+                        encode_jpeg(
+                            pix,
+                            quant=None if i % 4 == 0 else 1,
+                            subsample=(i % 3 == 0),
+                        )
+                    )
+                else:
+                    pix = ((20 + 3 * xx + 5 * yy) % 200).astype(np.uint8)
+                    payloads.append(encode_jpeg(pix, quant=None if i % 4 == 1 else 1))
+            yield pd.DataFrame({"doc_id": b["doc_id"].values, "payload": payloads})
+
+    jpgs = d.mapInPandas(build, schema)
+    return decode_meta(jpgs, id_col="doc_id", payload_col="payload").select(
+        "doc_id", "width", "height", "channels", "format"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_Q)
 

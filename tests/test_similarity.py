@@ -567,6 +567,112 @@ class TestKMeansIterationShape:
 
 
 @pytest.mark.usefixtures("spark")
+class TestJpegCodec:
+    """Baseline JPEG codec (operators/jpeg.py): roundtrip tolerance bounds,
+    exactness properties, sampling/restart variants, and the multimodal
+    router's stub fallback for malformed payloads."""
+
+    @staticmethod
+    def _smooth(h, w, c):
+        import numpy as np
+
+        yy, xx = np.mgrid[0:h, 0:w]
+        if c == 1:
+            return ((20 + 3 * xx + 5 * yy) % 200).astype(np.uint8)
+        return np.stack(
+            [(20 + 3 * xx + (k + 1) * yy) % 200 for k in range(c)], axis=-1
+        ).astype(np.uint8)
+
+    def test_uniform_block_exact_at_flat_quant(self):
+        import numpy as np
+
+        from crawld_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        u = np.full((16, 16, 3), 97, np.uint8)
+        w, h, c, out = decode_jpeg(encode_jpeg(u, quant=1))
+        assert (w, h, c) == (16, 16, 3)
+        assert (out == u).all()
+
+    def test_roundtrip_tolerance_444_flat(self):
+        import numpy as np
+
+        from crawld_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        p = self._smooth(13, 11, 3)  # non-multiple-of-8 edges
+        w, h, c, out = decode_jpeg(encode_jpeg(p, quant=1))
+        assert (w, h, c) == (11, 13, 3)
+        # flat quant=1: only forward-DCT rounding survives — ≤2 counts
+        assert int(np.abs(out.astype(int) - p.astype(int)).max()) <= 2
+
+    def test_roundtrip_tolerance_420_and_annexk(self):
+        import numpy as np
+
+        from crawld_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        # wrap-free gradient: lossy-mode max-error bounds are only
+        # meaningful without 255→0 cliffs (quantization legitimately
+        # rings at step edges — that case is covered by the mean bound)
+        yy, xx = np.mgrid[0:32, 0:32]
+        p = np.stack([xx * 3 + 20, yy * 3 + 40, (xx + yy) * 2 + 30], -1).astype(
+            np.uint8
+        )
+        for kwargs, tol in [
+            (dict(quant=1, subsample=True), 4),
+            (dict(quant=None), 8),
+            (dict(quant=None, subsample=True), 10),
+        ]:
+            _, _, _, out = decode_jpeg(encode_jpeg(p, **kwargs))
+            err = np.abs(out.astype(int) - p.astype(int))
+            assert int(err.max()) <= tol, (kwargs, int(err.max()))
+        # and on a cliff-heavy pattern the MEAN stays small
+        ph = self._smooth(32, 32, 3)
+        _, _, _, out = decode_jpeg(encode_jpeg(ph, quant=None, subsample=True))
+        assert float(np.abs(out.astype(int) - ph.astype(int)).mean()) < 4.0
+
+    def test_grayscale(self):
+        import numpy as np
+
+        from crawld_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        p = self._smooth(9, 7, 1)
+        w, h, c, out = decode_jpeg(encode_jpeg(p, quant=1))
+        assert (w, h, c) == (7, 9, 1)
+        assert int(np.abs(out[:, :, 0].astype(int) - p.astype(int)).max()) <= 1
+
+    def test_restart_markers_bit_identical(self):
+        from crawld_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        p = self._smooth(40, 48, 3)
+        plain = decode_jpeg(encode_jpeg(p, quant=1))[3]
+        rst = decode_jpeg(encode_jpeg(p, quant=1, restart_interval=3))[3]
+        assert (plain == rst).all()
+        p420 = decode_jpeg(encode_jpeg(p, quant=1, subsample=True))[3]
+        r420 = decode_jpeg(
+            encode_jpeg(p, quant=1, subsample=True, restart_interval=2)
+        )[3]
+        assert (p420 == r420).all()
+
+    def test_deterministic_bytes(self):
+        from crawld_spark.operators.jpeg import encode_jpeg
+
+        p = self._smooth(24, 16, 3)
+        assert encode_jpeg(p) == encode_jpeg(p)
+
+    def test_router_decodes_and_stubs(self):
+        from crawld_spark.operators.jpeg import encode_jpeg
+        from crawld_spark.operators.multimodal import _decode_any, sniff_format
+
+        p = self._smooth(24, 16, 3)
+        data = encode_jpeg(p, quant=None, subsample=True)
+        assert sniff_format(data) == "jpeg"
+        n, w, h, c, fmt = _decode_any(data)
+        assert (n, w, h, c, fmt) == (len(data), 16, 24, 3, "jpeg")
+        # truncated scan → stub lane, not a task failure
+        assert _decode_any(data[:40])[4] == "stub"
+        # valid magic, garbage body → stub lane
+        assert _decode_any(b"\xff\xd8\xff\xe0junk")[4] == "stub"
+
+
 class TestPngDecoder:
     """r4 PNG decoder: stdlib zlib + numpy unfilter, exact pixels across
     every filter type, RGB and RGBA, plus hand-built and malformed lanes."""
