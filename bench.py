@@ -84,6 +84,7 @@ HEADLINE = [
     "perplexity_buckets",
     "dedup_neardup_mark",
     "jpeg_decode_roundtrip",
+    "boilerplate_strip",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

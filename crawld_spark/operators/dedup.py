@@ -446,6 +446,7 @@ def paragraph_chunks(
     id_col: str = "doc_id",
     text_col: str = "text",
     chunk_words: int = 8,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Explode each document into fixed-width word chunks (the paragraph
     stand-in for a corpus with no newline structure): one row per
@@ -463,8 +464,10 @@ def paragraph_chunks(
     chunks = F.transform(
         idx, lambda i: F.array_join(F.slice(ws, i * chunk_words + 1, chunk_words), " ")
     )
+    carry = carry_cols or []
     return docs.select(
-        F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
+        F.col(id_col), *[F.col(c) for c in carry],
+        F.posexplode(chunks).alias("pos", "chunk"),
     )
 
 
@@ -511,6 +514,83 @@ def paragraph_dedup(
                             F.when(
                                 F.col("kept"),
                                 F.struct(F.col("pos").alias("p"), F.col("chunk").alias("c")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("c"),
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+
+
+def boilerplate_strip(
+    docs: DataFrame,  # id_col + host_col + text_col
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    host_col: str = "host",
+    chunk_words: int = 8,
+    min_docs: int = 3,
+    frac_num: int = 1,
+    frac_den: int = 2,
+) -> DataFrame:
+    """Per-host boilerplate removal (the RefinedWeb/CCNet line-dedup
+    discipline, host-conditioned): a chunk is *boilerplate* when it appears
+    in at least ``frac_num/frac_den`` of its host's documents (hosts with
+    fewer than ``min_docs`` documents are exempt — nothing is frequent on a
+    host of one), and every occurrence of a boilerplate chunk is stripped
+    from every document of that host. The navigation bar every page of a
+    site carries is removed site-wide; the same sentence on an unrelated
+    host is untouched — the key difference from corpus-global
+    paragraph_dedup, which keeps exactly one copy somewhere.
+
+    Returns ``(id_col, n_chunks, n_boiler, clean_md5)``; ``clean_md5`` is
+    the md5 of the document reassembled from surviving chunks in order
+    ('' if everything was boilerplate).
+
+    Cross-engine determinism: the frequency gate is pure-integer —
+    ``n_docs_with_chunk * frac_den >= frac_num * host_docs`` — no float
+    ratio to disagree on. Scale shape: one (host, chunk-digest) partial
+    count-distinct shuffle + a host-cardinality doc count; the marking
+    join keys on (host, digest); hot chunks collapse map-side, there is no
+    window by chunk hash (same skew argument as paragraph_dedup);
+    reassembly groups by doc id (document-size-bounded).
+    """
+    ch = paragraph_chunks(
+        docs, id_col, text_col, chunk_words, carry_cols=[host_col]
+    ).withColumn("h", F.md5("chunk"))
+    nd = ch.groupBy(host_col, "h").agg(
+        F.count_distinct(F.col(id_col)).alias("_nd")
+    )
+    hd = docs.groupBy(host_col).agg(
+        F.count_distinct(F.col(id_col)).alias("_hn")
+    )
+    boiler = (
+        nd.join(hd, host_col)
+        .where(
+            (F.col("_hn") >= F.lit(int(min_docs)))
+            & (F.col("_nd") * F.lit(int(frac_den)) >= F.lit(int(frac_num)) * F.col("_hn"))
+        )
+        .select(host_col, "h", F.lit(True).alias("_boiler"))
+    )
+    marked = ch.join(boiler, [host_col, "h"], "left").withColumn(
+        "kept", F.col("_boiler").isNull()
+    )
+    return marked.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.count(F.when(~F.col("kept"), 1)).alias("n_boiler"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept"),
+                                F.struct(
+                                    F.col("pos").alias("p"),
+                                    F.col("chunk").alias("c"),
+                                ),
                             )
                         )
                     ),

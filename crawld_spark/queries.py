@@ -1553,6 +1553,74 @@ def dedup_paragraphs(spark, sf_dir):
     return dedup.paragraph_dedup(docs, chunk_words=8)
 
 
+_HOST_SYNTH_SQL = (
+    "'sub' || (doc_id % 5) || '.site' || (doc_id % 11) || '.example.com'"
+)
+_NAV_WORDS = (
+    "home about contact privacy terms careers promo offers banner footer"
+    " sitemap login search help"
+)
+
+
+@q(
+    "boilerplate_strip",
+    # every doc gets its HOST's 16-word nav prefix (2 full 8-word chunks
+    # shared by all docs of the host) ahead of its unique text: the
+    # host-conditioned frequency gate must strip exactly those chunks
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_HOST_SYNTH_SQL} AS host,
+             'nav ' || {_HOST_SYNTH_SQL} || ' {_NAV_WORDS} ' || text AS text
+      FROM documents
+    ), w AS (
+      SELECT doc_id, host,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM d
+    ), c AS (
+      SELECT doc_id, host, i AS pos,
+             array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS chunk
+      FROM w, unnest(generate_series(0, CAST(ceil(len(ws)/8.0) AS INT) - 1))
+             AS t(i)
+    ), nd AS (
+      SELECT host, md5(chunk) AS h, count(DISTINCT doc_id) AS ndc
+      FROM c GROUP BY host, md5(chunk)
+    ), hd AS (
+      SELECT host, count(DISTINCT doc_id) AS hn FROM d GROUP BY host
+    ), bl AS (
+      SELECT host, h FROM nd JOIN hd USING (host)
+      WHERE hn >= 3 AND ndc * 2 >= hn
+    ), m AS (
+      SELECT c.doc_id, c.pos, c.chunk, (bl.h IS NOT NULL) AS boiler
+      FROM c LEFT JOIN bl ON bl.host = c.host AND bl.h = md5(c.chunk)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      CAST(count(*) FILTER (WHERE boiler) AS BIGINT) AS n_boiler,
+      md5(coalesce(string_agg(chunk, ' ' ORDER BY pos)
+                     FILTER (WHERE NOT boiler), '')) AS clean_md5
+    FROM m GROUP BY doc_id
+    """,
+)
+def boilerplate_strip(spark, sf_dir):
+    """Per-host boilerplate removal (dedup.boilerplate_strip): chunks
+    frequent within a HOST are stripped site-wide — the RefinedWeb/CCNet
+    line-dedup discipline, host-conditioned (corpus-global paragraph_dedup
+    keeps one copy; this keeps none on the offending host and leaves other
+    hosts alone). Pure-integer frequency gate, no float ratio."""
+    host = F.concat(
+        F.lit("sub"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".site"), (F.col("doc_id") % 11).cast("string"),
+        F.lit(".example.com"),
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(
+            F.lit("nav "), host, F.lit(f" {_NAV_WORDS} "), F.col("text")
+        ).alias("text"),
+    )
+    return dedup.boilerplate_strip(d, chunk_words=8)
+
+
 @q(
     "lm_familiarity",
     """
@@ -1590,9 +1658,6 @@ def lm_familiarity(spark, sf_dir):
 # The corpus has no host column, so the lane synthesizes a 4-label host per
 # document (identically on both engines) and marks it against a small
 # deterministic blocklist with UT1 suffix semantics.
-_HOST_SYNTH_SQL = (
-    "'sub' || (doc_id % 5) || '.site' || (doc_id % 11) || '.example.com'"
-)
 _BLOCKLIST = ["site3.example.com", "sub2.site7.example.com", "spam.example.org"]
 
 @q(

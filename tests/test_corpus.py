@@ -103,3 +103,58 @@ class TestAnchorText:
         assert t["anchors_joined"] == "l0|l1|l2|l3|l4|l5|l6|l7"
         # a pad target has exactly one inlink
         assert got["http://pad/5/0"]["n_inlinks"] == 1
+
+
+class TestBoilerplateStrip:
+    """dedup.boilerplate_strip (oracled via the boilerplate_strip lane;
+    these pin host-conditioning, the min_docs exemption, and reassembly)."""
+
+    NAV = "w1 w2 w3 w4 w5 w6 w7 w8"  # exactly one 8-word chunk
+
+    def _md5(self, s):
+        import hashlib
+
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def test_strips_only_on_frequent_host(self, spark):
+        from crawld_spark.operators.dedup import boilerplate_strip
+
+        rows = [
+            # host a: 4 docs, all share the nav chunk -> stripped
+            *[(i, "a", f"{self.NAV} tail{i} x y z") for i in range(4)],
+            # host b: ONE doc with the same nav chunk -> kept (host b has
+            # fewer than min_docs docs; the chunk is frequent only on a)
+            (10, "b", f"{self.NAV} solo"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, host string, text string")
+        got = {r.doc_id: r for r in boilerplate_strip(d).collect()}
+        for i in range(4):
+            assert got[i].n_chunks == 2 and got[i].n_boiler == 1
+            assert got[i].clean_md5 == self._md5(f"tail{i} x y z")
+        assert got[10].n_boiler == 0
+        assert got[10].clean_md5 == self._md5(f"{self.NAV} solo")
+
+    def test_min_docs_exemption_and_threshold(self, spark):
+        from crawld_spark.operators.dedup import boilerplate_strip
+
+        rows = [
+            # host c: 2 identical docs — below min_docs=3, nothing stripped
+            (0, "c", f"{self.NAV} same"),
+            (1, "c", f"{self.NAV} same"),
+            # host d: 4 docs, chunk shared by only 1 of 4 (< 1/2) -> kept
+            (10, "d", f"{self.NAV} d0 q r s"),
+            (11, "d", "other words here now d1 u v w"),
+            (12, "d", "more unrelated text goes right here d2"),
+            (13, "d", "final doc on host d with words d3"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, host string, text string")
+        got = {r.doc_id: r for r in boilerplate_strip(d).collect()}
+        assert all(got[i].n_boiler == 0 for i in (0, 1, 10, 11, 12, 13))
+
+    def test_everything_boiler_gives_empty_md5(self, spark):
+        from crawld_spark.operators.dedup import boilerplate_strip
+
+        rows = [(i, "e", self.NAV) for i in range(3)]
+        d = spark.createDataFrame(rows, "doc_id long, host string, text string")
+        got = boilerplate_strip(d).collect()
+        assert all(r.n_boiler == 1 and r.clean_md5 == self._md5("") for r in got)
