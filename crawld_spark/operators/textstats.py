@@ -172,6 +172,80 @@ def generate_merge_table(n_merges: int, seed: str = "bpe-vocab") -> list[tuple[s
     return merges
 
 
+def train_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 100,
+    top_words: int = 50_000,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge table FROM the corpus (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units") —
+    the trained counterpart of the synthetic ``generate_merge_table``.
+
+    The split real trainers use, mapped onto Spark: the distributed part
+    is ONE word-frequency aggregation (whitespace tokens → map-side
+    combinable groupBy — the only pass over the corpus, however large);
+    the merge loop then runs on the collected word-frequency DICTIONARY,
+    whose size is vocabulary-bounded, not corpus-bounded. ``top_words``
+    caps the driver dict by (count desc, word asc) — Zipf mass makes the
+    tail's contribution to pair counts negligible, and the cap is the
+    documented scale bound (50k words ≈ a few MB driver-side).
+
+    Determinism: word ranking and the per-round best-pair choice both
+    tie-break lexicographically (count desc, key asc) — no hash order, no
+    RNG; the same corpus yields byte-identical merge tables on every run.
+    The output is VALID by construction (each merge's components are
+    single characters or earlier-merge products), so it feeds
+    ``token_count_bpe_udf`` / ``token_count_bpe_broadcast`` directly.
+    """
+    wf = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(top_words)
+        .collect()
+    )
+    words: dict[tuple[str, ...], int] = {
+        tuple(r["w"]): int(r["c"]) for r in wf
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(max(0, n_merges)):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        nxt: dict[tuple[str, ...], int] = {}
+        for syms, c in words.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + c
+        words = nxt
+    return merges
+
+
 def bpe_token_count_word_ranked(word: str, ranks: dict[tuple[str, str], int]) -> int:
     """Token count of one word by iterative LOWEST-RANK adjacent-pair
     merging — the O(len²·lookups) algorithm every production BPE tokenizer

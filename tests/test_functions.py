@@ -532,3 +532,73 @@ class TestSitemapSource:
         assert got["http://a.com/1"].priority == 0.5
         assert got["http://b.com/2"].lastmod is None
         assert not any(r.is_index for r in got.values())
+
+
+class TestBpeTrainer:
+    """Corpus-trained BPE merges (textstats.train_bpe_merges): the Sennrich
+    trainer on a word-frequency dict, deterministic tie-breaks, valid
+    output that feeds the existing tokenizer paths."""
+
+    def _corpus(self, spark):
+        # the classic Sennrich example frequencies
+        rows = (
+            [("low",)] * 5 + [("lower",)] * 2 + [("newest",)] * 6 + [("widest",)] * 3
+        )
+        return spark.createDataFrame(rows, "text string")
+
+    def test_learns_expected_merges(self, spark):
+        from crawld_spark.operators.textstats import train_bpe_merges
+
+        merges = train_bpe_merges(self._corpus(spark), n_merges=4)
+        # pair counts round 1: (e,s)=9 ties (s,t)=9 -> lexicographic (e,s);
+        # round 2: (es,t)=9; round 3: (l,o)=7 ties (o,w)=7 -> (l,o);
+        # round 4: (lo,w)=7
+        assert merges == [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+
+    def test_deterministic_and_valid(self, spark):
+        from crawld_spark.operators.textstats import (
+            bpe_token_count_word,
+            train_bpe_merges,
+        )
+
+        docs = spark.createDataFrame(
+            [(f"alpha beta gamma delta w{i % 7}",) for i in range(40)],
+            "text string",
+        )
+        m1 = train_bpe_merges(docs, n_merges=12)
+        m2 = train_bpe_merges(docs, n_merges=12)
+        assert m1 == m2 and len(m1) == 12
+        # validity: each merge's components are chars or earlier products
+        symbols = set("abcdefghijklmnopqrstuvwxyz0123456789")
+        for a, b in m1:
+            assert a in symbols and b in symbols, (a, b)
+            symbols.add(a + b)
+        # trained table actually compresses the words it was trained on
+        assert bpe_token_count_word("alpha", m1) < len("alpha")
+
+    def test_feeds_broadcast_tokenizer(self, spark):
+        from pyspark.sql import functions as F
+
+        from crawld_spark.operators.textstats import (
+            bpe_token_count_word,
+            token_count_bpe_broadcast,
+            train_bpe_merges,
+        )
+
+        docs = self._corpus(spark)
+        merges = train_bpe_merges(docs, n_merges=4)
+        udf = token_count_bpe_broadcast(spark, merges)
+        got = {r.text: r.n for r in docs.distinct().select(
+            "text", udf(F.col("text")).alias("n")).collect()}
+        for w in ("low", "lower", "newest", "widest"):
+            assert got[w] == bpe_token_count_word(w, merges), w
+
+    def test_top_words_cap(self, spark):
+        from crawld_spark.operators.textstats import train_bpe_merges
+
+        # cap to the single most frequent word: merges learn only from it
+        docs = self._corpus(spark)
+        merges = train_bpe_merges(docs, n_merges=3, top_words=1)
+        # 'newest' (6) wins the cap; all pair counts tie at 6 each round ->
+        # lexicographic: (e,s) first, then (e,w), then (es,t)
+        assert merges == [("e", "s"), ("e", "w"), ("es", "t")]
