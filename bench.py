@@ -85,6 +85,7 @@ HEADLINE = [
     "dedup_neardup_mark",
     "jpeg_decode_roundtrip",
     "boilerplate_strip",
+    "decontaminate_fuzzy",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

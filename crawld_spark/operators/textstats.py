@@ -638,6 +638,47 @@ def perplexity_buckets(
     )
 
 
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n_hashes: int = 4,
+    band_size: int = 2,
+    shingle_k: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: flag training documents
+    sharing any MinHash-LSH band with any benchmark document — catches the
+    paraphrased/reformatted contamination the exact k-gram pass
+    (:func:`decontaminate`) misses (an appended sentence or shuffled
+    whitespace changes every overlapping shingle but rarely every band).
+    Returns ``(id_col, n_bands_hit)`` for flagged docs only; run BOTH
+    passes in practice (exact = high precision, fuzzy = recall).
+
+    Shape at scale: identical to the exact pass — the benchmark band set
+    is eval-suite-small → broadcast; the corpus side's band rows semi-join
+    map-side, so the only aggregation shuffle is over the flagged subset.
+    Band keys are md5 digests; text never travels.
+    """
+    from crawld_spark.operators.dedup import minhash_lsh_buckets
+
+    db = minhash_lsh_buckets(
+        docs, n_hashes, band_size, shingle_k, id_col, text_col
+    )
+    bb = (
+        minhash_lsh_buckets(
+            benchmark, n_hashes, band_size, shingle_k, id_col, text_col
+        )
+        .select("band_id", "band_key")
+        .distinct()
+    )
+    return (
+        db.join(F.broadcast(bb), ["band_id", "band_key"], "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bands_hit"))
+    )
+
+
 # ---------------------------------------------------------------------
 # feature-hashing linear quality classifier (fastText/VW-style inference)
 # ---------------------------------------------------------------------

@@ -1296,6 +1296,62 @@ def decontaminate(spark, sf_dir):
     )
 
 
+@q(
+    "decontaminate_fuzzy",
+    # NEAR-dup decontamination: the corpus contains perturbed copies of
+    # benchmark docs (doc_id+200000 = bench text + an appended tail, which
+    # breaks exact-duplicate checks but leaves most minhash bands intact);
+    # flag docs sharing ANY band with the benchmark subset (doc_id < 25)
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, text || ' znear tail words'
+      FROM documents WHERE doc_id < 10
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 1, 1)),
+               i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS sh
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM d)
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_min(list_transform(sh, s -> md5('seed0:' || s))) AS mh0,
+             list_min(list_transform(sh, s -> md5('seed1:' || s))) AS mh1,
+             list_min(list_transform(sh, s -> md5('seed2:' || s))) AS mh2,
+             list_min(list_transform(sh, s -> md5('seed3:' || s))) AS mh3
+      FROM sh),
+    bands AS (
+      SELECT 0 AS band_id, md5(mh0 || '|' || mh1) AS band_key, doc_id FROM sig
+      UNION ALL
+      SELECT 1 AS band_id, md5(mh2 || '|' || mh3) AS band_key, doc_id FROM sig),
+    bench AS (
+      SELECT DISTINCT band_id, band_key FROM bands WHERE doc_id < 25
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bands_hit
+    FROM bands JOIN bench USING (band_id, band_key)
+    GROUP BY doc_id
+    """,
+)
+def decontaminate_fuzzy(spark, sf_dir):
+    """Near-dup benchmark decontamination (textstats.decontaminate_fuzzy):
+    MinHash-band overlap against the broadcast benchmark band set — the
+    recall companion to the exact k-gram pass (a perturbed copy of an eval
+    doc keeps most bands while losing its exact shingles)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.where(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" znear tail words")).alias("text"),
+        )
+    )
+    return textstats.decontaminate_fuzzy(
+        corpus, corpus.where(F.col("doc_id") < 25)
+    )
+
+
 # end-to-end curation pipeline: the composed pass a training-data user
 # actually runs — language gate → quality gate → exact dedup → benchmark
 # decontamination → per-language stratified sample — as ONE declarative

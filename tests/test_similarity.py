@@ -1141,6 +1141,45 @@ class TestPercentileLengthFilter:
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
 
 
+class TestFuzzyDecontamination:
+    """textstats.decontaminate_fuzzy (oracled via the decontaminate_fuzzy
+    lane; this pins the motivating recall property)."""
+
+    def test_catches_what_exact_misses(self, spark):
+        from crawld_spark.operators.textstats import (
+            decontaminate,
+            decontaminate_fuzzy,
+        )
+
+        bench = spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+        # doc 10: paraphrase-style perturbation — every word changed ONCE
+        # at the tail, so many 3-gram shingles survive nowhere near... the
+        # tail kgrams change but the head shingles keep minhash bands
+        corpus = spark.createDataFrame(
+            [
+                (10, "alpha beta gamma delta epsilon zeta eta theta appended"),
+                (11, "completely unrelated words none shared at all here"),
+            ],
+            "doc_id long, text string",
+        )
+        fuzzy = {r.doc_id for r in decontaminate_fuzzy(corpus, bench).collect()}
+        assert 10 in fuzzy and 11 not in fuzzy
+        # the exact 8-gram pass misses doc 10 when k exceeds what survives
+        exact = {
+            r.doc_id for r in decontaminate(corpus, bench, k=8).collect()
+        }
+        assert 10 in exact  # k=8 shingles still overlap here...
+        exact9 = {
+            r.doc_id for r in decontaminate(corpus, bench, k=9).collect()
+        }
+        # ...but at k=9 no window of doc 10 equals the 8-word bench doc's
+        # single truncated shingle, while fuzzy still flags it
+        assert 10 not in exact9
+
+
 class TestPerplexityBuckets:
     """textstats.perplexity_buckets (oracled via the perplexity_buckets
     lane; these pin tertile arithmetic and per-language independence)."""
