@@ -86,6 +86,7 @@ HEADLINE = [
     "jpeg_decode_roundtrip",
     "boilerplate_strip",
     "decontaminate_fuzzy",
+    "ann_ivf_pq",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

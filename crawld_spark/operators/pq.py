@@ -182,27 +182,16 @@ def pq_encode(
     )
 
 
-def pq_topk_adc(
-    queries: DataFrame,  # id_col + vec_col (small, broadcast by contract)
-    codes: DataFrame,  # id_col + codes (pq_encode output)
-    books: list[Book],
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _lut_frame(
+    queries: DataFrame, books: list[Book], id_col: str, vec_col: str
 ) -> DataFrame:
-    """Asymmetric-distance top-k: ``(qid, rank, nid, cos)`` with cos the
-    approximate cosine against the RECONSTRUCTED neighbor (exact int
-    arithmetic, one double division — bit-stable across engines).
-
-    The per-query LUT (m·ksub dot products) is computed once per QUERY row
-    before the broadcast; corpus-row cost is m ``element_at`` lookups.
-    """
+    """(qid, lut, nq, qv): the per-query ADC lookup table —
+    ``lut[s*ksub + c] = dot(q_s, codeword_{s,c})`` — computed ONCE per
+    query row before any broadcast; plus the query norm and quantized
+    vector (for downstream exact rerank)."""
     m = len(books)
-    ksub = len(books[0])
     dsub = len(books[0][0])
-
     qv = quantize(vec_col)
-    # lut[s*ksub + c] = dot(q_s, codeword_{s,c}); computed on the Q-row side
     lut = F.flatten(
         F.array(
             *[
@@ -213,14 +202,20 @@ def pq_topk_adc(
             ]
         )
     )
-    q = queries.select(
+    return queries.select(
         F.col(id_col).alias("qid"),
         lut.alias("lut"),
         norm2_i(qv).alias("nq"),
+        qv.alias("qv"),
     )
-    # reconstruction norm: |recon|^2 = sum_s |codeword_{s,code_s}|^2, also a
-    # literal lookup (norms[s*ksub + c]), so the corpus row never rebuilds
-    # the vector
+
+
+def _adc_cos(books: list[Book]):
+    """Approximate-cosine expression over columns ``lut``, ``nq``,
+    ``codes``: ADC dot + reconstruction norm are both m array lookups (the
+    norm table is a literal), one IEEE double division at the end."""
+    m = len(books)
+    ksub = len(books[0])
     norms = F.array(
         *[
             F.lit(int(sum(x * x for x in cv)))
@@ -239,20 +234,32 @@ def pq_topk_adc(
         nterm = F.element_at(norms, idx[s])
         adc = term if adc is None else adc + term
         nrec = nterm if nrec is None else nrec + nterm
+    return adc / (
+        F.sqrt(F.col("nq").cast("double"))
+        * F.sqrt(F.when(nrec <= 0, F.lit(1)).otherwise(nrec).cast("double"))
+    )
 
+
+def pq_topk_adc(
+    queries: DataFrame,  # id_col + vec_col (small, broadcast by contract)
+    codes: DataFrame,  # id_col + codes (pq_encode output)
+    books: list[Book],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: ``(qid, rank, nid, cos)`` with cos the
+    approximate cosine against the RECONSTRUCTED neighbor (exact int
+    arithmetic, one double division — bit-stable across engines).
+
+    The per-query LUT (m·ksub dot products) is computed once per QUERY row
+    before the broadcast; corpus-row cost is m ``element_at`` lookups.
+    """
+    q = _lut_frame(queries, books, id_col, vec_col).drop("qv")
     scored = (
         codes.select(F.col(id_col).alias("nid"), "codes")
         .crossJoin(F.broadcast(q))
-        .withColumn(
-            "cos",
-            adc
-            / (
-                F.sqrt(F.col("nq").cast("double"))
-                * F.sqrt(
-                    F.when(nrec <= 0, F.lit(1)).otherwise(nrec).cast("double")
-                )
-            ),
-        )
+        .withColumn("cos", _adc_cos(books))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (
@@ -310,6 +317,109 @@ def pq_topk_rerank(
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (
         exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "nid", F.round("cos", 6).alias("cos"))
+    )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,  # id_col + vec_col (small, broadcast by contract)
+    corpus: DataFrame,  # id_col + vec_col (the raw-vector table)
+    k: int = 5,
+    n_cells: int = 4,
+    n_probe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    cell_iter: int = 3,
+    pq_iter: int = 3,
+    rfactor: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full IVFADC composition (FAISS's 10^10-vector architecture,
+    Jégou et al. 2011): coarse k-means cells bound WHICH rows are scanned
+    (only ``n_probe`` probed cells per query — partition-prunable when the
+    code table is stored partitioned by cell), PQ codes bound the BYTES per
+    scanned row (m small ints, ADC lookups instead of dot products), and
+    the exact re-rank of ``k·rfactor`` candidates restores recall against
+    raw vectors touched only for the candidate set. Codes are encoded from
+    the raw vectors, not cell residuals — the no-residual IVFADC variant
+    (one global codebook set), which keeps encoding cell-independent and
+    the oracle replay linear.
+
+    Training is the two existing deterministic paths composed unchanged:
+    similarity.kmeans_assign for the cells, pq_train for the codebooks —
+    so the DuckDB twin (queries._ivf_pq_sql) replays both with the shared
+    CTE builders. Everything the lane emits is exact-int / single-double
+    arithmetic end to end.
+    """
+    from crawld_spark.operators.similarity import (
+        cosine_sim,
+        kmeans_assign,
+        quantize as _q,
+    )
+
+    # project to (id, vec) first: an input that carries its own 'label'
+    # column (the embeddings testdata does) must not collide with the
+    # k-means cell label
+    corpus = corpus.select(F.col(id_col), F.col(vec_col))
+    labeled = kmeans_assign(
+        corpus, k=n_cells, n_iter=cell_iter, id_col=id_col, vec_col=vec_col
+    )
+    books = pq_train(corpus, m, ksub, pq_iter, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col).join(
+        labeled.select(F.col(id_col), "label"), id_col
+    )
+
+    # floor-mean cell centroids from the labeled corpus — the same exact
+    # integer arithmetic as similarity.ivf_topk, so probing decisions are
+    # bit-identical to the oracle's replay
+    c = labeled.select(
+        F.col(id_col).alias("nid"), "label", _q(vec_col).alias("nv")
+    )
+    cents = (
+        c.select("label", F.posexplode("nv").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .withColumn("m", F.expr("(s - pmod(s, n)) div n"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ps"))
+        .select("label", F.transform("ps", lambda x: x["m"]).alias("cv"))
+    )
+    q = _lut_frame(queries, books, id_col, vec_col)
+    probe = q.crossJoin(F.broadcast(cents)).withColumn(
+        "ccos", cosine_sim(F.col("qv"), F.col("cv"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("ccos"), F.asc("label"))
+    probed = (
+        probe.withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= n_probe)
+        .select("qid", "label", "lut", "nq")
+    )
+
+    # ADC only inside probed cells: the (qid, label, lut) frame is
+    # Q·n_probe rows -> broadcast into the code table's label equi-join
+    scored = (
+        codes.select(F.col(id_col).alias("nid"), "label", "codes")
+        .join(F.broadcast(probed), "label")
+        .withColumn("cos", _adc_cos(books))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    cands = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k * rfactor)
+        .select("qid", "nid")
+    )
+    qv = queries.select(F.col(id_col).alias("qid"), _q(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("nid"), _q(vec_col).alias("nv"))
+    exact = (
+        cv.join(F.broadcast(cands), "nid")
+        .join(F.broadcast(qv), "qid")
+        .withColumn("cos", cosine_sim(F.col("qv"), F.col("nv")))
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
         .where(F.col("rank") <= k)
         .select("qid", "rank", "nid", F.round("cos", 6).alias("cos"))
     )

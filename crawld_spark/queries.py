@@ -2498,13 +2498,18 @@ def perplexity_buckets(spark, sf_dir):
     return textstats.perplexity_buckets(scored)
 
 
-def _pq_ctes(m: int, ksub: int, n_iter: int, dim: int) -> list[str]:
+def _pq_ctes(
+    m: int, ksub: int, n_iter: int, dim: int, include_source: bool = True
+) -> list[str]:
     """CTE chain replaying pq.pq_train + pq_encode + the per-(qid, nid) ADC
     scores, verbatim: md5-ranked seed rows (subvector slices), per
     iteration one L2-argmin assignment over (vec_id, subspace) and one
     floor-mean codeword update, then ADC = sum over subspaces of
-    dot(query subvector, assigned codeword). Ends with CTE ``adcs``
-    (qid, nid, adc, nrec) and ``qn`` (qid, nq)."""
+    dot(query subvector, assigned codeword). Ends with CTE ``padcs``
+    (qid, nid, adc, nrec) and ``pqn`` (qid, nq). All internal CTEs are
+    p-prefixed so the chain composes with _kmeans_train_ctes (the IVF-PQ
+    twin); ``include_source=False`` skips the ``q``/``c`` source CTEs when
+    the caller defines them."""
     dsub = dim // m
 
     def dot(a: str, b: str) -> str:
@@ -2518,60 +2523,64 @@ def _pq_ctes(m: int, ksub: int, n_iter: int, dim: int) -> list[str]:
 
     mean = "(sm - ((sm % n + n) % n)) // n"
     subspaces = f"(SELECT unnest(generate_series(0, {m - 1})) AS s)"
-    ctes = [
-        f"q AS (SELECT vec_id AS qid, {_QUANT_SQL} AS qv FROM embeddings WHERE vec_id < 3)",
-        f"c AS (SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings WHERE vec_id >= 3)",
-        f"""book0 AS (
+    ctes = []
+    if include_source:
+        ctes += [
+            f"q AS (SELECT vec_id AS qid, {_QUANT_SQL} AS qv FROM embeddings WHERE vec_id < 3)",
+            f"c AS (SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings WHERE vec_id >= 3)",
+        ]
+    ctes += [
+        f"""pbook0 AS (
       SELECT t.s, sd.code, sd.qv[t.s * {dsub} + 1 : (t.s + 1) * {dsub}] AS cv
       FROM (
         SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
                     AS INT) AS code, qv
         FROM c) sd CROSS JOIN {subspaces} t
       WHERE sd.code < {ksub})""",
-        f"""sub AS (
+        f"""psub AS (
       SELECT vec_id, t.s, qv[t.s * {dsub} + 1 : (t.s + 1) * {dsub}] AS sv
       FROM c CROSS JOIN {subspaces} t)""",
     ]
     for i in range(1, n_iter + 1):
         ctes.append(
-            f"""a{i} AS (
+            f"""pa{i} AS (
       SELECT vec_id, s, sv, code FROM (
-        SELECT sub.vec_id, sub.s, sub.sv, b.code,
-               row_number() OVER (PARTITION BY sub.vec_id, sub.s
-                                  ORDER BY {nsq('b.cv')} - 2 * {dot('sub.sv', 'b.cv')} ASC,
+        SELECT psub.vec_id, psub.s, psub.sv, b.code,
+               row_number() OVER (PARTITION BY psub.vec_id, psub.s
+                                  ORDER BY {nsq('b.cv')} - 2 * {dot('psub.sv', 'b.cv')} ASC,
                                            b.code) AS r
-        FROM sub JOIN book{i - 1} b ON b.s = sub.s) WHERE r = 1)"""
+        FROM psub JOIN pbook{i - 1} b ON b.s = psub.s) WHERE r = 1)"""
         )
         if i < n_iter:
             ctes.append(
-                f"""u{i} AS (
+                f"""pu{i} AS (
       SELECT s, code, list({mean} ORDER BY pos) AS cv FROM (
         SELECT s, code, pos, CAST(sum(v) AS BIGINT) AS sm, count(*) AS n
         FROM (SELECT s, code, unnest(sv) AS v,
-                     unnest(generate_series(1, len(sv))) AS pos FROM a{i})
+                     unnest(generate_series(1, len(sv))) AS pos FROM pa{i})
         GROUP BY s, code, pos)
       GROUP BY s, code)"""
             )
             ctes.append(
-                f"""book{i} AS (
+                f"""pbook{i} AS (
       SELECT p.s, p.code, coalesce(u.cv, p.cv) AS cv
-      FROM book{i - 1} p LEFT JOIN u{i} u ON u.s = p.s AND u.code = p.code)"""
+      FROM pbook{i - 1} p LEFT JOIN pu{i} u ON u.s = p.s AND u.code = p.code)"""
             )
     ctes += [
-        f"enc AS (SELECT vec_id, s, code FROM a{n_iter})",
-        f"""qsub AS (
+        f"penc AS (SELECT vec_id, s, code FROM pa{n_iter})",
+        f"""pqsub AS (
       SELECT qid, t.s, qv[t.s * {dsub} + 1 : (t.s + 1) * {dsub}] AS sv
       FROM q CROSS JOIN {subspaces} t)""",
-        f"qn AS (SELECT qid, {nsq('qv')} AS nq FROM q)",
-        f"""terms AS (
+        f"pqn AS (SELECT qid, {nsq('qv')} AS nq FROM q)",
+        f"""pterms AS (
       SELECT qs.qid, e.vec_id AS nid,
              {dot('qs.sv', 'b.cv')} AS pd, {nsq('b.cv')} AS pn
-      FROM enc e JOIN book{n_iter - 1} b ON b.s = e.s AND b.code = e.code
-      JOIN qsub qs ON qs.s = e.s)""",
-        """adcs AS (
+      FROM penc e JOIN pbook{n_iter - 1} b ON b.s = e.s AND b.code = e.code
+      JOIN pqsub qs ON qs.s = e.s)""",
+        """padcs AS (
       SELECT qid, nid, CAST(sum(pd) AS BIGINT) AS adc,
              CAST(sum(pn) AS BIGINT) AS nrec
-      FROM terms GROUP BY qid, nid)""",
+      FROM pterms GROUP BY qid, nid)""",
     ]
     return ctes
 
@@ -2590,7 +2599,7 @@ def _pq_adc_sql() -> str:
       SELECT a.qid, nid, {_PQ_COS} AS cos,
              row_number() OVER (PARTITION BY a.qid
                                 ORDER BY {_PQ_COS} DESC, nid) AS rank
-      FROM adcs a JOIN qn ON qn.qid = a.qid)"""
+      FROM padcs a JOIN pqn ON pqn.qid = a.qid)"""
     )
     return (
         "WITH "
@@ -2618,7 +2627,7 @@ def _pq_rerank_sql(k: int = 5, rfactor: int = 3) -> str:
         SELECT a.qid, nid,
                row_number() OVER (PARTITION BY a.qid
                                   ORDER BY {_PQ_COS} DESC, nid) AS r
-        FROM adcs a JOIN qn ON qn.qid = a.qid) WHERE r <= {k * rfactor})""",
+        FROM padcs a JOIN pqn ON pqn.qid = a.qid) WHERE r <= {k * rfactor})""",
         f"""exact AS (
       SELECT cand.qid, cand.nid,
              {dotf('q.qv', 'c.qv')} /
@@ -2634,6 +2643,117 @@ def _pq_rerank_sql(k: int = 5, rfactor: int = 3) -> str:
         "WITH "
         + ",\n    ".join(ctes)
         + f"\n    SELECT qid, rank, nid, round(cos, 6) AS cos FROM rr WHERE rank <= {k}"
+    )
+
+
+_IVFPQ_CELLS, _IVFPQ_CITER, _IVFPQ_PROBE = 4, 2, 2
+_IVFPQ_M, _IVFPQ_KSUB, _IVFPQ_PITER, _IVFPQ_RF = 4, 8, 2, 3
+
+
+def _ivf_pq_sql(
+    k: int = 5,
+    n_cells: int = _IVFPQ_CELLS,
+    cell_iter: int = _IVFPQ_CITER,
+    n_probe: int = _IVFPQ_PROBE,
+    m: int = _IVFPQ_M,
+    ksub: int = _IVFPQ_KSUB,
+    pq_iter: int = _IVFPQ_PITER,
+    rfactor: int = _IVFPQ_RF,
+    dim: int = _PQ_DIM,
+) -> str:
+    """The IVFADC twin: composes the two training replays — coarse cells
+    via _kmeans_train_ctes (cent*/a*/u* names) and PQ via _pq_ctes
+    (p-prefixed names) — then probes top-n_probe cells per query, ranks
+    the ADC scores WITHIN probed cells for k·rfactor candidates, and
+    exact-reranks against raw vectors."""
+    mean = "(s - ((s % n + n) % n)) // n"
+
+    def dotf(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(1, {dim + 1}),"
+            f" i -> {a}[i] * {b}[i])) AS BIGINT)"
+        )
+
+    def nsqf(a: str) -> str:
+        return f"CAST(list_sum(list_transform({a}, x -> x * x)) AS BIGINT)"
+
+    ctes = [
+        f"q AS (SELECT vec_id AS qid, {_QUANT_SQL} AS qv FROM embeddings WHERE vec_id < 3)",
+        f"c AS (SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings WHERE vec_id >= 3)",
+    ]
+    ctes += _kmeans_train_ctes("c", n_cells, cell_iter, dim)
+    ctes += _pq_ctes(m, ksub, pq_iter, dim, include_source=False)
+    ctes += [
+        f"lc AS (SELECT vec_id AS nid, label, qv AS nv FROM a{cell_iter})",
+        """cflat AS (SELECT label, unnest(nv) AS v,
+                     unnest(generate_series(1, len(nv))) AS pos FROM lc)""",
+        "centf AS (SELECT label, pos, CAST(sum(v) AS BIGINT) AS s, count(*) AS n"
+        " FROM cflat GROUP BY label, pos)",
+        f"cent AS (SELECT label, list({mean} ORDER BY pos) AS cv"
+        " FROM centf GROUP BY label)",
+        "pflat AS (SELECT qid, label, unnest(qv) AS x, unnest(cv) AS y"
+        " FROM q CROSS JOIN cent)",
+        """pdots AS (SELECT qid, label, CAST(sum(x * y) AS BIGINT) AS dot,
+                     CAST(sum(x * x) AS BIGINT) AS nq2, CAST(sum(y * y) AS BIGINT) AS nc
+              FROM pflat GROUP BY qid, label)""",
+        f"""probed AS (
+      SELECT qid, label FROM (
+        SELECT qid, label,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY dot / (sqrt(nq2) * sqrt(nc)) DESC, label) AS r
+        FROM pdots)
+      WHERE r <= {n_probe})""",
+        f"""cand AS (
+      SELECT qid, nid FROM (
+        SELECT a.qid, a.nid,
+               row_number() OVER (PARTITION BY a.qid
+                                  ORDER BY {_PQ_COS} DESC, a.nid) AS r
+        FROM padcs a JOIN pqn ON pqn.qid = a.qid
+        JOIN lc ON lc.nid = a.nid
+        JOIN probed p ON p.qid = a.qid AND p.label = lc.label)
+      WHERE r <= {k * rfactor})""",
+        f"""exact AS (
+      SELECT cand.qid, cand.nid,
+             {dotf('q.qv', 'lc.nv')} /
+               (sqrt(CAST({nsqf('q.qv')} AS DOUBLE)) *
+                sqrt(CAST({nsqf('lc.nv')} AS DOUBLE))) AS cos
+      FROM cand JOIN q ON q.qid = cand.qid JOIN lc ON lc.nid = cand.nid)""",
+        """rr AS (
+      SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      FROM exact)""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT qid, rank, nid, round(cos, 6) AS cos FROM rr WHERE rank <= {k}"
+    )
+
+
+@q("ann_ivf_pq", _ivf_pq_sql())
+def ann_ivf_pq(spark, sf_dir):
+    """The full IVFADC composition (pq.ivf_pq_topk): coarse k-means cells
+    bound WHICH rows are scanned (n_probe probed cells, partition-prunable
+    code table), PQ codes bound the BYTES per scanned row (ADC lookups),
+    exact rerank of k·rfactor candidates restores recall. The oracle
+    replays BOTH trainings via the shared CTE builders plus the probe,
+    within-cell ADC ranking, and rerank."""
+    from crawld_spark.operators import pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 3)
+    qs = emb.where(F.col("vec_id") < 3)
+    return pq.ivf_pq_topk(
+        qs,
+        corpus,
+        k=5,
+        n_cells=_IVFPQ_CELLS,
+        n_probe=_IVFPQ_PROBE,
+        m=_IVFPQ_M,
+        ksub=_IVFPQ_KSUB,
+        cell_iter=_IVFPQ_CITER,
+        pq_iter=_IVFPQ_PITER,
+        rfactor=_IVFPQ_RF,
     )
 
 

@@ -142,3 +142,45 @@ class TestPQSearch:
         }
         for r in out.collect():
             assert brute[(r.qid, r.nid)] == r.cos
+
+
+class TestIvfPq:
+    """pq.ivf_pq_topk (oracled via the ann_ivf_pq lane): the composed
+    IVFADC — these pin the recall dials and exact-rerank identity."""
+
+    def test_recall_dials_monotone(self, split):
+        queries, corpus = split
+        brute = {}
+        for r in similarity.brute_force_topk(queries, corpus, k=5).collect():
+            brute.setdefault(r.qid, set()).add(r.nid)
+
+        def recall(res):
+            got = {}
+            for r in res:
+                got.setdefault(r.qid, set()).add(r.nid)
+            return sum(len(got.get(q, set()) & brute[q]) for q in brute) / sum(
+                len(b) for b in brute.values()
+            )
+
+        narrow = recall(
+            pq.ivf_pq_topk(queries, corpus, k=5, n_cells=4, n_probe=2, rfactor=5).collect()
+        )
+        wide = recall(
+            pq.ivf_pq_topk(queries, corpus, k=5, n_cells=4, n_probe=4, rfactor=20).collect()
+        )
+        # probing every cell with a deep rerank can only help
+        assert wide >= narrow
+        # floors measured at pin time (0.467 / 0.733 on this corpus)
+        assert narrow >= 0.4 and wide >= 0.7
+
+    def test_returned_cos_is_exact(self, split):
+        queries, corpus = split
+        out = pq.ivf_pq_topk(queries, corpus, k=5, n_cells=4, n_probe=2, rfactor=3)
+        brute = {
+            (r.qid, r.nid): r.cos
+            for r in similarity.brute_force_topk(queries, corpus, k=500).collect()
+        }
+        rows = out.collect()
+        assert rows
+        for r in rows:
+            assert brute[(r.qid, r.nid)] == r.cos
