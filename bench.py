@@ -87,6 +87,8 @@ HEADLINE = [
     "boilerplate_strip",
     "decontaminate_fuzzy",
     "ann_ivf_pq",
+    "sessionize",
+    "session_window_agg",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

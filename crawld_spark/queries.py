@@ -2790,6 +2790,71 @@ def ann_pq_rerank(spark, sf_dir):
     return pq.pq_topk_rerank(qs, corpus, books, k=5, rfactor=3)
 
 
+_SESS_GAP_S = 28_800  # 480 min ≈ the corpus's median inter-event gap
+_SESS_LAG_SQL = f"""
+    e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+    sb AS (
+      SELECT *, CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                         ORDER BY ts_us, event_id) > {_SESS_GAP_S * 1_000_000}
+                     THEN 1 ELSE 0 END AS brk
+      FROM e),
+    ss AS (
+      SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+                     ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS session_seq
+      FROM sb)
+"""
+
+
+@q(
+    "sessionize",
+    f"""
+    WITH {_SESS_LAG_SQL}
+    SELECT event_id, user_id, ts_us, session_seq,
+      CAST(row_number() OVER (PARTITION BY user_id, session_seq
+                              ORDER BY ts_us, event_id) - 1 AS BIGINT)
+        AS event_seq
+    FROM ss
+    """,
+)
+def sessionize(spark, sf_dir):
+    """Gap-based per-event sessionization (operators/sessions.sessionize):
+    per-user lag + running break count — the classic event-log operator
+    (per-HOST fetch bursts in the crawl loop are the same shape). Window
+    state is one user's events; timestamps travel as epoch micros."""
+    from crawld_spark.operators import sessions
+
+    return sessions.sessionize(
+        _t(spark, sf_dir, "events"), gap_s=_SESS_GAP_S
+    )
+
+
+@q(
+    "session_window_agg",
+    # the ORACLE states the first-principles lag/cumsum rollup; the engine
+    # answers with Spark's NATIVE session_window — a cross-check that the
+    # built-in streaming-session primitive implements exactly gap-merge
+    # semantics (boundary: diff == gap merges, strictly-greater breaks)
+    f"""
+    WITH {_SESS_LAG_SQL}
+    SELECT user_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
+      CAST(count(*) AS BIGINT) AS n_events,
+      max(ts_us) - min(ts_us) AS duration_us
+    FROM ss GROUP BY user_id, session_seq
+    """,
+)
+def session_window_agg(spark, sf_dir):
+    """Per-session rollup via the NATIVE ``session_window`` primitive
+    (operators/sessions.session_rollup) — the exact expression Structured
+    Streaming runs under a watermark, exercised in batch and pinned
+    against the lag-based oracle."""
+    from crawld_spark.operators import sessions
+
+    return sessions.session_rollup(
+        _t(spark, sf_dir, "events"), gap_s=_SESS_GAP_S
+    )
+
+
 # =====================================================================
 # 8. corpus rollups + link-graph anchor signal (operators/corpus, graph)
 # =====================================================================
