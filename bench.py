@@ -89,6 +89,7 @@ HEADLINE = [
     "ann_ivf_pq",
     "sessionize",
     "session_window_agg",
+    "zorder_key",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

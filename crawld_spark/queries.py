@@ -2790,6 +2790,48 @@ def ann_pq_rerank(spark, sf_dir):
     return pq.pq_topk_rerank(qs, corpus, books, k=5, rfactor=3)
 
 
+_ZBITS = 16
+_ZFOLD = 1 << _ZBITS
+_ZORDER_TERMS = " + ".join(
+    f"((((a >> {i}) & 1) << {2 * i}) + (((b >> {i}) & 1) << {2 * i + 1}))"
+    for i in range(_ZBITS)
+)
+
+
+@q(
+    "zorder_key",
+    # Morton interleave of two hash-folded dimensions — the ZORDER OPTIMIZE
+    # clustering key, as closed-form bit arithmetic both engines state
+    # identically (DuckDB >> / & / << on BIGINT ≡ Spark shiftright/
+    # bitwiseAND/shiftleft on long)
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(doc_id % {_ZFOLD} AS BIGINT) AS a,
+             CAST((doc_id * 2654435761) % {_ZFOLD} AS BIGINT) AS b
+      FROM documents
+    )
+    SELECT doc_id, a, b, CAST({_ZORDER_TERMS} AS BIGINT) AS zkey
+    FROM d
+    """,
+)
+def zorder_key(spark, sf_dir):
+    """Z-order clustering key (operators/layout.zorder_key): the
+    bit-interleaved sort key behind Delta/Iceberg ZORDER OPTIMIZE — one
+    range sort gives BOTH dimensions zone-map locality (the frontier's
+    host+url case). Pure int64 bit arithmetic, exchange-free."""
+    from crawld_spark.operators import layout
+
+    a = (F.col("doc_id") % _ZFOLD).cast("long")
+    b = ((F.col("doc_id") * 2654435761) % _ZFOLD).cast("long")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        a.alias("a"),
+        b.alias("b"),
+        layout.zorder_key(a, b, bits=_ZBITS).alias("zkey"),
+    )
+
+
 _SESS_GAP_S = 28_800  # 480 min ≈ the corpus's median inter-event gap
 _SESS_LAG_SQL = f"""
     e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
