@@ -81,6 +81,7 @@ def session_rollup(
     gap_s: int = 900,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """Per-session aggregate via the NATIVE ``session_window`` primitive:
     ``(user_id, start_us, end_us, n_events, duration_us)`` with start/end
@@ -88,7 +89,13 @@ def session_rollup(
     the last event by the gap — stripped here so the output states facts
     about events, not the gap parameter). On a streaming frame the same
     expression runs under a watermark — this is the streaming-session
-    operator, exercised in batch."""
+    operator, exercised in batch (and under a real StreamingQuery in
+    tests/test_streaming_metrics.py — including the session MERGE across
+    micro-batches that distinguishes session windows from tumbling ones).
+    On a stream the watermark bounds open-session state; on a batch frame
+    it is a no-op."""
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark_delay)
     g = events.groupBy(
         F.col(user_col),
         F.session_window(F.col(ts_col), f"{int(gap_s)} seconds").alias("_w"),

@@ -313,3 +313,84 @@ class TestStreamingExactDedup:
         urls = sorted(r.url for r in spark.sql("SELECT url FROM dedup2").collect())
         # u2 (in-horizon dup) dropped; u6 (post-eviction dup) re-emits
         assert urls == ["u1", "u3", "u4", "u6"], urls
+
+
+class TestStreamingSessions:
+    """session_rollup under a real StreamingQuery: drain parity with the
+    batch plan, and the cross-micro-batch session MERGE that distinguishes
+    session windows from tumbling windows."""
+
+    def test_stream_equals_batch(self, spark, tmp_path):
+        from crawld_spark.operators.sessions import session_rollup
+
+        src = str(tmp_path / "sessrc")
+        rows = [
+            ("2026-01-01 10:00:00", "u1", 0.0),
+            ("2026-01-01 10:00:05", "u1", 0.0),
+            ("2026-01-01 10:10:00", "u1", 0.0),  # > 60 s gap: new session
+            ("2026-01-01 10:00:02", "u2", 0.0),
+        ]
+        _write_events(spark, src, rows)
+        stream = spark.readStream.schema(EVT_SCHEMA).parquet(src)
+        q = (
+            session_rollup(stream, gap_s=60, user_col="event_type")
+            .writeStream.format("memory")
+            .queryName("sess_complete")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        key = lambda r: (r.event_type, r.start_us, r.end_us, r.n_events, r.duration_us)
+        got = sorted(map(key, spark.sql("SELECT * FROM sess_complete").collect()))
+        want = sorted(
+            map(
+                key,
+                session_rollup(
+                    spark.read.parquet(src), gap_s=60, user_col="event_type"
+                ).collect(),
+            )
+        )
+        assert got == want and len(got) == 3
+
+    def test_sessions_merge_across_microbatches(self, spark, tmp_path):
+        """Two micro-batches each carry half of ONE session (gap between
+        the halves < 60 s): the stateful session window must merge them
+        into a single 4-event session, not two."""
+        from crawld_spark.operators.sessions import session_rollup
+
+        src = str(tmp_path / "sessmerge")
+        os.makedirs(src, exist_ok=True)
+        now = time.time()
+        _write_events(
+            spark, f"{src}/f1",
+            [("2026-01-01 10:00:00", "u1", 0.0),
+             ("2026-01-01 10:00:30", "u1", 0.0)],
+            mtime=now - 60,
+        )
+        _write_events(
+            spark, f"{src}/f2",
+            [("2026-01-01 10:01:00", "u1", 0.0),
+             ("2026-01-01 10:01:20", "u1", 0.0)],
+            mtime=now,
+        )
+        stream = (
+            spark.readStream.schema(EVT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = (
+            session_rollup(stream, gap_s=60, user_col="event_type")
+            .writeStream.format("memory")
+            .queryName("sess_merge")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        got = spark.sql("SELECT * FROM sess_merge").collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r.n_events == 4
+        assert r.duration_us == 80 * 1_000_000
