@@ -79,3 +79,71 @@ class TestSessionRollup:
         got = sessions.session_rollup(_df(spark, rows), gap_s=10).collect()
         assert len(got) == 2
         assert all(r.n_events == 1 and r.duration_us == 0 for r in got)
+
+
+class TestSessionsRandomized:
+    """Randomized differential check: sessionize AND the native
+    session_window rollup vs a pure-Python reference over dense random
+    timelines (gaps straddling the threshold, duplicate timestamps,
+    many users — the regime hand cases can't cover)."""
+
+    GAP = 30
+
+    def _events(self):
+        import random
+
+        rng = random.Random(987)
+        rows = []
+        eid = 0
+        for u in range(8):
+            t = 0
+            for _ in range(rng.randint(0, 40)):
+                # gaps cluster around the threshold; duplicates included
+                t += rng.choice([0, 1, 5, 29, 30, 31, 45, 90])
+                rows.append((eid, u, _at(t)))
+                eid += 1
+        return rows
+
+    def _reference(self, rows):
+        # per-user: sort by (ts, id); break when diff > GAP
+        by_user: dict[int, list] = {}
+        for eid, u, ts in rows:
+            by_user.setdefault(u, []).append((int(ts.timestamp() * 1_000_000), eid))
+        ref_events = {}
+        ref_sessions = {}
+        for u, evs in by_user.items():
+            evs.sort()
+            seq = -1
+            prev = None
+            pos = 0
+            for ts_us, eid in evs:
+                if prev is None or ts_us - prev > self.GAP * 1_000_000:
+                    seq += 1
+                    pos = 0
+                    ref_sessions[(u, seq)] = [ts_us, ts_us, 0]
+                ref_events[eid] = (u, ts_us, seq, pos)
+                s = ref_sessions[(u, seq)]
+                s[0] = min(s[0], ts_us)
+                s[1] = max(s[1], ts_us)
+                s[2] += 1
+                pos += 1
+                prev = ts_us
+        return ref_events, ref_sessions
+
+    def test_sessionize_and_rollup_match_reference(self, spark):
+        rows = self._events()
+        ref_events, ref_sessions = self._reference(rows)
+        df = _df(spark, rows)
+        got_e = {
+            r.event_id: (r.user_id, r.ts_us, r.session_seq, r.event_seq)
+            for r in sessions.sessionize(df, gap_s=self.GAP).collect()
+        }
+        assert got_e == ref_events
+        got_s = sorted(
+            (r.user_id, r.start_us, r.end_us, r.n_events)
+            for r in sessions.session_rollup(df, gap_s=self.GAP).collect()
+        )
+        want_s = sorted(
+            (u, lo, hi, n) for (u, _), (lo, hi, n) in ref_sessions.items()
+        )
+        assert got_s == want_s
