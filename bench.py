@@ -90,6 +90,7 @@ HEADLINE = [
     "sessionize",
     "session_window_agg",
     "zorder_key",
+    "frontier_prioritize",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

@@ -1901,7 +1901,7 @@ def recrawl_priority(spark, sf_dir):
 _PR_ITER = 5
 
 
-def _pagerank_sql(n_iter: int = _PR_ITER) -> str:
+def _pagerank_ctes(n_iter: int = _PR_ITER) -> list[str]:
     ctes = [
         """e AS (
       SELECT doc_id AS src,
@@ -1928,9 +1928,13 @@ def _pagerank_sql(n_iter: int = _PR_ITER) -> str:
                AS rank_q
       FROM base LEFT JOIN c{i} ON node = dst)"""
         )
+    return ctes
+
+
+def _pagerank_sql(n_iter: int = _PR_ITER) -> str:
     return (
         "WITH "
-        + ",\n    ".join(ctes)
+        + ",\n    ".join(_pagerank_ctes(n_iter))
         + f"""
     SELECT node, rank_q, out_deg FROM r{n_iter} JOIN base USING (node)"""
     )
@@ -2788,6 +2792,95 @@ def ann_pq_rerank(spark, sf_dir):
     qs = emb.where(F.col("vec_id") < 3)
     books = pq.pq_train(corpus, m=_PQ_M, ksub=_PQ_KSUB, n_iter=_PQ_ITER)
     return pq.pq_topk_rerank(qs, corpus, books, k=5, rfactor=3)
+
+
+def _frontier_prioritize_sql(k: int = 50, n_iter: int = _PR_ITER) -> str:
+    ctes = _pagerank_ctes(n_iter)
+    ctes += [
+        """ap AS (
+      SELECT doc_id AS asrc, 'http://t/' || (doc_id % 7) AS target,
+             'l0' AS anchor
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'http://t/' || (doc_id % 13), 'l1' FROM documents)""",
+        """aa AS (
+      SELECT target, CAST(count(*) AS BIGINT) AS n_inlinks,
+             CAST(count(DISTINCT asrc) AS BIGINT) AS n_srcs
+      FROM ap GROUP BY target)""",
+        """an AS (
+      SELECT CAST(regexp_extract(target, '([0-9]+)$', 1) AS BIGINT) AS node,
+             n_inlinks, n_srcs
+      FROM aa)""",
+        f"""j AS (
+      SELECT r.node, rank_q,
+             coalesce(n_inlinks, 0) AS n_inlinks,
+             coalesce(n_srcs, 0) AS n_srcs,
+             rank_q + coalesce(n_inlinks, 0) * 1000 AS priority
+      FROM r{n_iter} r LEFT JOIN an ON an.node = r.node)""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, rank_q, n_inlinks, n_srcs, priority,
+      CAST(row_number() OVER (ORDER BY priority DESC, node) AS BIGINT)
+        AS pri_rank
+    FROM j
+    QUALIFY pri_rank <= {k}"""
+    )
+
+
+@q("frontier_prioritize", _frontier_prioritize_sql())
+def frontier_prioritize(spark, sf_dir):
+    """Crawl-side signal composition: integer-exact PageRank (centrality)
+    joined with inbound anchor-text counts (off-page relevance) into ONE
+    int64 frontier priority, top-50 — the graph-signal flavor of
+    curation_pipeline, showing the graft's link-graph operators compose in
+    a single Catalyst plan. HTML parses executor-side (anchor pairs), the
+    PageRank frame joins on the integer node key, and the final cut is an
+    orderBy().limit(K) (bounded K by contract) with the rank assigned over
+    the K survivors only — never a corpus-wide single-partition window."""
+    from crawld_spark.operators import graph
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                (F.col("doc_id") * 7 + 1) % n,
+                (F.col("doc_id") * 13 + 3) % n,
+                F.lit(0).cast("long"),
+            )
+        ).alias("dst"),
+    )
+    pr = graph.pagerank(edges, n_iter=_PR_ITER).select("node", "rank_q")
+
+    url = F.concat(F.lit("http://d/"), F.col("doc_id").cast("string"))
+    links = F.array(
+        F.concat(F.lit("http://t/"), (F.col("doc_id") % 7).cast("string")),
+        F.concat(F.lit("http://t/"), (F.col("doc_id") % 13).cast("string")),
+    )
+    pages = d.select("doc_id", wrap_html(url, F.col("text"), links).alias("html"))
+    an = graph.anchor_text_agg(pages, html_col="html", id_col="doc_id").select(
+        F.regexp_extract("target", r"([0-9]+)$", 1).cast("long").alias("node"),
+        "n_inlinks",
+        "n_srcs",
+    )
+    j = pr.join(an, "node", "left").select(
+        "node",
+        "rank_q",
+        F.coalesce("n_inlinks", F.lit(0)).alias("n_inlinks"),
+        F.coalesce("n_srcs", F.lit(0)).alias("n_srcs"),
+        (F.col("rank_q") + F.coalesce("n_inlinks", F.lit(0)) * 1000).alias(
+            "priority"
+        ),
+    )
+    top = j.orderBy(F.desc("priority"), F.asc("node")).limit(50)
+    w = Window.orderBy(F.desc("priority"), F.asc("node"))
+    return top.withColumn(
+        "pri_rank", F.row_number().over(w).cast("long")
+    )
 
 
 _ZBITS = 16
