@@ -91,6 +91,7 @@ HEADLINE = [
     "session_window_agg",
     "zorder_key",
     "frontier_prioritize",
+    "bm25_topk",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

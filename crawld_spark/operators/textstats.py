@@ -679,6 +679,101 @@ def decontaminate_fuzzy(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval over the corpus for a literal term list —
+    the lexical-search operator of the family (Robertson/Spärck Jones
+    probabilistic relevance; the Okapi BM25 form every search stack
+    ships). Returns the top-k documents:
+    ``(doc_id, n_terms_hit, qtotal, score, rank)``.
+
+    Integer-exact cross-engine arithmetic: with k1 = 6/5 and b = 3/4 the
+    per-term score
+
+        idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    multiplies through to ``qidf · 22·tf·L / (10·tf·L + 3·L + 9·dl·N)``
+    with N = corpus docs, L = total corpus tokens — an all-integer
+    denominator, one double division, floored to an int64 per-term score
+    (qidf = floor(ln((N − df + ½)/(df + ½) + 1)·10⁶), the
+    quantize-at-type-level discipline of lm_bigram_scores). Per-document
+    totals are INTEGER sums — order-independent, so Spark and the DuckDB
+    twin agree bit-for-bit; ``score`` is qtotal/10⁶ for display.
+
+    Scale shape: the token stream filters to the (tiny, literal) term set
+    before any shuffle, so the (doc, term) tf aggregate is query-sized,
+    not corpus-sized; df and the corpus stats are one map-side-combinable
+    aggregate each, broadcast back; the final cut is orderBy().limit(k)
+    with the rank assigned over the k survivors only.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    ex = docs.select(F.col(id_col), F.explode(toks).alias("w"))
+    stats = docs.select(
+        F.count("*").alias("n"),
+        F.sum(F.size(toks)).alias("lt"),
+    )
+    dl = ex.groupBy(id_col).agg(F.count("*").alias("dl"))
+    hits = ex.where(F.col("w").isin(list(terms)))
+    tf = hits.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("w").agg(F.count("*").cast("long").alias("df"))
+    # qidf at the TERM level (one row per term), integer thereafter
+    idf = df_t.crossJoin(F.broadcast(stats)).select(
+        "w",
+        F.floor(
+            F.log(
+                (F.col("n") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("qidf"),
+        "n",
+        "lt",
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "w")
+        .join(dl, id_col)
+        .withColumn(
+            "qscore",
+            F.floor(
+                (
+                    F.col("qidf").cast("double")
+                    * F.lit(22)
+                    * F.col("tf")
+                    * F.col("lt")
+                )
+                / (
+                    F.lit(10) * F.col("tf") * F.col("lt")
+                    + F.lit(3) * F.col("lt")
+                    + F.lit(9) * F.col("dl") * F.col("n")
+                ).cast("double")
+            ).cast("long"),
+        )
+    )
+    totals = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_terms_hit"),
+        F.sum("qscore").alias("qtotal"),
+    )
+    from pyspark.sql.window import Window
+
+    top = totals.orderBy(F.desc("qtotal"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("qtotal"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        id_col,
+        "n_terms_hit",
+        "qtotal",
+        F.round(F.col("qtotal") / F.lit(1000000.0), 6).alias("score"),
+        "rank",
+    )
+
+
 # ---------------------------------------------------------------------
 # feature-hashing linear quality classifier (fastText/VW-style inference)
 # ---------------------------------------------------------------------

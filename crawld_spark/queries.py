@@ -2883,6 +2883,65 @@ def frontier_prioritize(spark, sf_dir):
     )
 
 
+_BM25_TERMS = ["hash", "join", "window"]
+
+
+@q(
+    "bm25_topk",
+    # Okapi BM25 with k1=6/5, b=3/4 multiplied through to the all-integer
+    # denominator 10·tf·L + 3·L + 9·dl·N; idf quantized at the term level,
+    # per-doc totals are integer sums (order-independent cross-engine)
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS w
+      FROM documents
+    ), stats AS (
+      SELECT (SELECT count(*) FROM documents) AS n,
+             (SELECT count(*) FROM tok) AS lt
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+    ), tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM tok
+      WHERE w IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+      GROUP BY doc_id, w
+    ), dft AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w
+    ), idf AS (
+      SELECT w,
+             CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 1000000.0)
+                  AS BIGINT) AS qidf,
+             n, lt
+      FROM dft CROSS JOIN stats
+    ), sc AS (
+      SELECT tf.doc_id,
+             CAST(floor((CAST(qidf AS DOUBLE) * 22 * tf * lt) /
+                        CAST(10 * tf * lt + 3 * lt + 9 * dl.dl * n AS DOUBLE))
+                  AS BIGINT) AS qscore
+      FROM tf JOIN idf USING (w) JOIN dl ON dl.doc_id = tf.doc_id
+    ), tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+             CAST(sum(qscore) AS BIGINT) AS qtotal
+      FROM sc GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms_hit, qtotal,
+      round(qtotal / 1000000.0, 6) AS score,
+      CAST(row_number() OVER (ORDER BY qtotal DESC, doc_id) AS BIGINT) AS rank
+    FROM tot
+    QUALIFY rank <= 10
+    """,
+)
+def bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-k retrieval (textstats.bm25_topk) for a literal term
+    list — lexical search over the corpus with rational (k1, b) multiplied
+    through to an all-integer denominator and term-level idf quantization,
+    so per-document totals are integer sums and the DuckDB twin matches
+    bit-for-bit."""
+    return textstats.bm25_topk(
+        _t(spark, sf_dir, "documents"), _BM25_TERMS, k=10
+    )
+
+
 _ZBITS = 16
 _ZFOLD = 1 << _ZBITS
 _ZORDER_TERMS = " + ".join(

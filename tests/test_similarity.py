@@ -1141,6 +1141,43 @@ class TestPercentileLengthFilter:
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
 
 
+class TestBm25:
+    """textstats.bm25_topk (oracled via the bm25_topk lane; these pin the
+    hand-computed arithmetic and ranking semantics)."""
+
+    def test_hand_computed_scores(self, spark):
+        import math
+
+        from crawld_spark.operators.textstats import bm25_topk
+
+        docs = spark.createDataFrame(
+            [(1, "hash join"), (2, "hash hash scan"), (3, "scan sort")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in bm25_topk(docs, ["hash", "join"], k=10).collect()}
+        # N=3, L=7; df(hash)=2, df(join)=1
+        qidf_h = math.floor(math.log((3 - 2 + 0.5) / 2.5 + 1) * 1e6)  # 470003
+        qidf_j = math.floor(math.log((3 - 1 + 0.5) / 1.5 + 1) * 1e6)  # 980829
+        d1 = math.floor(qidf_h * 22 * 1 * 7 / (10 * 7 + 3 * 7 + 9 * 2 * 3)) + math.floor(
+            qidf_j * 22 * 1 * 7 / (10 * 7 + 3 * 7 + 9 * 2 * 3)
+        )
+        d2 = math.floor(qidf_h * 22 * 2 * 7 / (10 * 2 * 7 + 3 * 7 + 9 * 3 * 3))
+        assert got[1].qtotal == d1 and got[1].n_terms_hit == 2
+        assert got[2].qtotal == d2 and got[2].n_terms_hit == 1
+        assert 3 not in got  # no query term -> not retrieved
+        assert got[1].rank == 1 and got[2].rank == 2
+
+    def test_longer_doc_scores_lower_at_same_tf(self, spark):
+        from crawld_spark.operators.textstats import bm25_topk
+
+        docs = spark.createDataFrame(
+            [(1, "hash a b"), (2, "hash a b c d e f g h i j k l m n o p")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.qtotal for r in bm25_topk(docs, ["hash"], k=10).collect()}
+        assert got[1] > got[2]  # the length normalization
+
+
 class TestFuzzyDecontamination:
     """textstats.decontaminate_fuzzy (oracled via the decontaminate_fuzzy
     lane; this pins the motivating recall property)."""
