@@ -79,11 +79,14 @@ def extract_anchors_one(html: bytes | None) -> list[str] | None:
     element, in document order. Tab-joined rather than struct-typed so the
     Arrow transfer stays a flat list<utf8> (structs-in-lists cost an extra
     child-array hop); callers split JVM-side with ``split(x, '\\t', 2)``.
-    Neither URLs nor the wrapper's anchor text can contain a tab."""
+    URLs cannot contain a raw tab (RFC 3986); anchor text on real-world
+    HTML can, so tabs in anchor text are normalized to a single space
+    before joining — the pair encoding is therefore lossless for hrefs and
+    space-normalized for anchors (ADVICE r4)."""
     if html is None:
         return None
     return [
-        h.decode("utf-8") + "\t" + _unescape(a.decode("utf-8"))
+        h.decode("utf-8") + "\t" + _unescape(a.decode("utf-8")).replace("\t", " ")
         for h, a in _ANCHOR_RE.findall(html)
     ]
 

@@ -460,7 +460,12 @@ def paragraph_chunks(
     """
     ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
     n_chunks = F.ceil(F.size(ws) / F.lit(float(chunk_words))).cast("int")
-    idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    # empty/whitespace-only docs emit ZERO chunk rows (posexplode of an
+    # empty array), matching the oracle's generate_series(0, ceil(len/8)-1)
+    # semantics — ADVICE r4: the unguarded form emitted one '' chunk.
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     chunks = F.transform(
         idx, lambda i: F.array_join(F.slice(ws, i * chunk_words + 1, chunk_words), " ")
     )
@@ -482,7 +487,7 @@ def paragraph_dedup(
     later occurrences are dropped; each document is reassembled from its
     surviving chunks in order. Returns
     ``(id_col, n_chunks, n_kept, clean_md5)`` where ``clean_md5`` is the
-    md5 of the reassembled text ('' when every chunk was boilerplate).
+    md5 of the reassembled text (md5('') when no chunk survives).
 
     Scale shape (10^10 docs): the keep-first rule is a
     ``groupBy(md5(chunk)).agg(min(struct(id, pos)))`` + equi-join back —
@@ -547,7 +552,7 @@ def boilerplate_strip(
 
     Returns ``(id_col, n_chunks, n_boiler, clean_md5)``; ``clean_md5`` is
     the md5 of the document reassembled from surviving chunks in order
-    ('' if everything was boilerplate).
+    (md5('') if everything was boilerplate).
 
     Cross-engine determinism: the frequency gate is pure-integer —
     ``n_docs_with_chunk * frac_den >= frac_num * host_docs`` — no float

@@ -49,9 +49,11 @@ def blocklist_mark(
     ``host_col`` equals a blocklist entry. Implemented as ``max_labels``
     chained broadcast hash joins (see module docstring for why this is the
     only shape that is simultaneously sub-O(rows×entries), shuffle-free,
-    and JVM-only). Suffixes deeper than ``max_labels`` labels are not
-    probed — real blocklists list registrable domains (2-4 labels), so cap
-    accordingly."""
+    and JVM-only). Probes the SHORTEST ``max_labels`` suffixes (the last
+    1..max_labels labels), so a host of any depth always has its
+    registrable-domain suffix checked — real blocklists list registrable
+    domains (2-4 labels), so entries deeper than ``max_labels`` labels are
+    the only thing the cap can miss."""
     bl = F.broadcast(
         blocklist.select(F.col(entry_col).alias("_bl_entry")).distinct()
     )
@@ -60,7 +62,7 @@ def blocklist_mark(
     for i in range(max_labels):
         sfx = F.when(
             F.size("_parts") > i,
-            F.array_join(F.slice(F.col("_parts"), i + 1, F.size("_parts")), "."),
+            F.array_join(F.slice(F.col("_parts"), -(i + 1), i + 1), "."),
         )
         hit = f"_bl_hit_{i}"
         out = out.join(

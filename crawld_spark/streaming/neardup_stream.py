@@ -129,4 +129,4 @@ class StreamingNearDup:
         return w.start()
 
     def decisions(self) -> DataFrame:
-        return self.cat.read(T_DECISIONS).select("doc_id", "is_dup", "batch_id")
+        return self.cat.read(T_DECISIONS).select(self.id_col, "is_dup", "batch_id")

@@ -294,6 +294,22 @@ class TestWebtextPlanShapes:
         kept = {r.doc_id for r in blocklist_filter(docs, bl).collect()}
         assert kept == {3, 5}
 
+    def test_blocklist_host_deeper_than_max_labels(self, spark):
+        """ADVICE r4 (high): the probe must check the SHORTEST suffixes, so
+        a host with more labels than max_labels still matches its
+        registrable-domain entry — no depth-based bypass."""
+        from crawld_spark.operators.urlfilter import blocklist_mark
+
+        docs = spark.createDataFrame(
+            [(1, "a.b.c.d.e.f.bad.com"),      # 8 labels > max_labels=6
+             (2, "a.b.c.d.e.f.good.com"),
+             (3, "x.y.z.w.v.u.t.s.bad.com")],  # 10 labels
+            "doc_id long, host string",
+        )
+        bl = spark.createDataFrame([("bad.com",)], "entry string")
+        got = {r.doc_id: r.blocked for r in blocklist_mark(docs, bl).collect()}
+        assert got == {1: True, 2: False, 3: True}
+
     def test_lm_scores_partial_agg_no_window(self, spark):
         from crawld_spark.operators.textstats import lm_bigram_scores
 
