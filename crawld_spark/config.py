@@ -85,6 +85,25 @@ class CrawlConfig:
     # (crawld.go:109-249 repoWorker scans the whole work list per round)
     recrawl_after_rounds: int = 0
     link_priority_decay: float = 1.0  # child priority = parent - decay
+    # measured frontier-priority signals (VERDICT r4 item 2): every k-th
+    # round (round_id % k == 0; 0 = off) the round's scheduling order is
+    # driven by signals computed from the COMMITTED fetched table —
+    # integer PageRank (graph.pagerank) + inbound anchor counts
+    # (graph.anchor_text_agg) + freshness change-rate (freshness.
+    # change_rate) — composed into one absolute int64 priority that
+    # replaces the stored row priority for every URL the signals cover
+    # (≙ crawld ranking its work list by measured stars metadata,
+    # crawlers/github.go:72-80 cascade → crawld.go:275 order). Absolute,
+    # not additive, so a replayed/re-fired round recomputes the identical
+    # value (idempotent). URLs without signal coverage (e.g. seeds before
+    # any fetch) keep their stored priority.
+    signal_priority_every: int = 0
+    signal_pr_iters: int = 3  # PageRank iterations per firing
+    # integer weights, micro-unit domain (rank_q is 1e6-scaled):
+    # priority = w_pr·rank_q + w_anchor·n_inlinks + w_fresh·priority_q
+    signal_w_pagerank: int = 1
+    signal_w_anchor: int = 1000
+    signal_w_freshness: int = 1
     # error throttler (≙ errbag defaults, config/config.go:174-184)
     throttler_wait_s: float = 1800.0
     throttler_window: int = 60
@@ -135,6 +154,10 @@ class CrawlConfig:
             raise ValueError("recrawl_after_rounds must be >= 0")
         if self.rate_limit_wait_s < 0:
             raise ValueError("rate_limit_wait_s must be >= 0")
+        if self.signal_priority_every < 0:
+            raise ValueError("signal_priority_every must be >= 0")
+        if self.signal_priority_every > 0 and self.signal_pr_iters < 1:
+            raise ValueError("signal_pr_iters must be >= 1 when signals are on")
         # durations must parse (≙ config/config.go:198-204)
         parse_duration(self.crawl_interval)
         parse_duration(self.fetch_interval)

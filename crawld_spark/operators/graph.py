@@ -82,6 +82,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint: bool = True,  # False = keep full lineage (plan tests only)
+    key_type: str = "long",  # node-key cast; "string" for URL-keyed graphs
 ) -> DataFrame:
     """Fixed-iteration integer PageRank. Returns ``(node, rank_q, out_deg)``
     for every node appearing as source or destination; ``rank_q`` is the
@@ -94,10 +95,15 @@ def pagerank(
     variant) — chosen because it keeps the update local and exactly
     replayable; the conserved variant needs a global dangling-sum term
     (one extra scalar agg per iteration) and is a drop-in if needed.
+
+    ``key_type`` only casts the node key; all rank arithmetic stays int64
+    regardless (url-keyed frontiers pass ``key_type="string"`` and skip a
+    hash-to-id mapping — the shuffle key is a few bytes wider, the plan is
+    identical).
     """
     e = edges.select(
-        F.col(src_col).cast("long").alias("src"),
-        F.col(dst_col).cast("long").alias("dst"),
+        F.col(src_col).cast(key_type).alias("src"),
+        F.col(dst_col).cast(key_type).alias("dst"),
     )
     nodes = (
         e.select(F.col("src").alias("node"))

@@ -289,6 +289,73 @@ class CrawlEngine:
             self._fetched_by_lang = {r["lang"]: int(r["n"]) for r in rows}
         return self._fetched_by_lang
 
+    # ---------------- measured frontier-priority signals ----------------
+    def _signals_fire(self, round_id: int) -> bool:
+        k = self.cfg.signal_priority_every
+        return k > 0 and round_id % k == 0
+
+    def _signal_priorities(self, round_id: int) -> DataFrame:
+        """``(url, sig_priority)`` from the COMMITTED fetched table: integer
+        PageRank over the extracted link graph × inbound anchor counts ×
+        freshness change-rate, composed with the config's integer weights
+        (micro-unit domain) and cast to double at the very end — exact for
+        values < 2^53, so the pure-Python simulator replays it bit-for-bit.
+
+        ≙ crawld ordering its work list by measured stars metadata
+        (/root/reference/crawlers/github.go:72-80 cascade feeding
+        crawld.go:275's iteration order): the crawl's own observations,
+        not the seed list, drive what gets fetched next.
+
+        Scale shape: edges/anchors shuffle (url, long) pairs only —
+        HTML never leaves its executor (anchor parse is the one Arrow
+        hop); PageRank is signal_pr_iters bounded-lineage joins; the
+        final composition is two url-keyed outer joins of agg-collapsed
+        frames, each ≪ the frontier.
+        """
+        from crawld_spark.operators import graph
+        from crawld_spark.operators.freshness import change_rate
+
+        cfg = self.cfg
+        fetched = self.cat.read(T_FETCHED, FETCHED_SCHEMA)
+        # latest observation per url (recrawl re-fetches supersede)
+        latest = fetched.groupBy("url").agg(
+            F.max_by(F.struct("html", "links"), "round_id").alias("_s")
+        ).select("url", F.col("_s.html").alias("html"), F.col("_s.links").alias("links"))
+        latest = latest.localCheckpoint(eager=False)  # two consumers below
+
+        edges = (
+            latest.select(F.col("url").alias("src"), F.explode("links").alias("_raw"))
+            .withColumn("dst", canonicalize_url(F.col("_raw")))
+            .where(F.col("dst").isNotNull())
+            .select("src", "dst")
+        )
+        pr = graph.pagerank(
+            edges, n_iter=cfg.signal_pr_iters, key_type="string"
+        ).select(F.col("node").alias("url"), "rank_q")
+
+        an = (
+            graph.anchor_text_agg(latest, html_col="html", id_col="url")
+            .select(canonicalize_url(F.col("target")).alias("url"), "n_inlinks")
+            .where(F.col("url").isNotNull())
+            .groupBy("url")
+            .agg(F.sum("n_inlinks").alias("n_inlinks"))
+        )
+        fresh = change_rate(
+            fetched.select("url", "round_id", F.md5("text").alias("digest")),
+            now_round=round_id,
+        ).select("url", "priority_q")
+
+        sig_q = (
+            F.coalesce(F.col("rank_q"), F.lit(0)) * F.lit(int(cfg.signal_w_pagerank))
+            + F.coalesce(F.col("n_inlinks"), F.lit(0)) * F.lit(int(cfg.signal_w_anchor))
+            + F.coalesce(F.col("priority_q"), F.lit(0)) * F.lit(int(cfg.signal_w_freshness))
+        )
+        return (
+            pr.join(an, "url", "full")
+            .join(fresh, "url", "full")
+            .select("url", sig_q.cast("double").alias("sig_priority"))
+        )
+
     # ---------------- one fetch round ----------------
     def run_round(self, round_id: int) -> dict:
         """Execute fetch round `round_id` (≥1). Returns counters. Idempotent:
@@ -330,6 +397,24 @@ class CrawlEngine:
         if round_id == 1 and cfg.since_seq > 0:
             # resume predicate: first round only (≙ crawld.go:116,266 — F1)
             pending = pending.where(F.col("discovery_seq") >= cfg.since_seq)
+
+        if self._signals_fire(round_id):
+            # measured-signal round: the composed absolute priority replaces
+            # the stored one for every signal-covered URL; rows the signals
+            # never saw keep their stored value. Rows touched this round
+            # (scheduled or denied) persist the signal priority via the
+            # frontier MERGE below; untouched rows are recomputed next
+            # firing — idempotent either way (absolute, from committed
+            # state only).
+            sig = self._signal_priorities(round_id)
+            pending = (
+                pending.join(sig, "url", "left")
+                .withColumn(
+                    "priority",
+                    F.coalesce(F.col("sig_priority"), F.col("priority")),
+                )
+                .drop("sig_priority")
+            )
 
         scheduled = politeness.schedule_round(
             pending.select("url", "host", "priority", "discovery_seq"),

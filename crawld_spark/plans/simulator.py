@@ -28,12 +28,70 @@ error.
 
 from __future__ import annotations
 
+import hashlib
 import heapq
 from dataclasses import dataclass, field
 
 from crawld_spark.config import CrawlConfig
 from crawld_spark.functions.url import canonicalize_one, host_of
 from crawld_spark.operators.politeness import path_of
+
+_SIG_SCALE = 1_000_000  # mirrors graph.SCALE / freshness.SCALE
+
+
+def _int_pagerank(edges: list[tuple[str, str]], n_iter: int) -> dict[str, int]:
+    """Pure-Python twin of graph.pagerank (integer micro-unit arithmetic,
+    identical floor divisions) over string-keyed edges."""
+    nodes: set[str] = set()
+    out_deg: dict[str, int] = {}
+    for s, d in edges:
+        nodes.add(s)
+        nodes.add(d)
+        out_deg[s] = out_deg.get(s, 0) + 1
+    rank = {n: _SIG_SCALE for n in nodes}
+    floor_base = (_SIG_SCALE * 15) // 100
+    for _ in range(max(1, n_iter)):
+        in_sum: dict[str, int] = {}
+        for s, d in edges:
+            in_sum[d] = in_sum.get(d, 0) + rank[s] // out_deg[s]
+        rank = {n: floor_base + (85 * in_sum.get(n, 0)) // 100 for n in nodes}
+    return rank
+
+
+def _signal_eff(
+    fetched_links: dict[str, list[str]],
+    fetch_hist: dict[str, list[tuple[int, str]]],
+    now_round: int,
+    cfg: CrawlConfig,
+) -> dict[str, float]:
+    """Mirror of CrawlEngine._signal_priorities: absolute composed priority
+    per signal-covered url — integer PageRank over the latest-fetch link
+    graph + inbound link counts + freshness priority_q, with the config's
+    integer weights; float() at the very end (exact below 2^53)."""
+    edges: list[tuple[str, str]] = []
+    for src, links in fetched_links.items():
+        for raw in links:
+            cu = canonicalize_one(raw)
+            if cu is not None:
+                edges.append((src, cu))
+    rank = _int_pagerank(edges, cfg.signal_pr_iters)
+    inlinks: dict[str, int] = {}
+    for _, d in edges:
+        inlinks[d] = inlinks.get(d, 0) + 1
+    fresh: dict[str, int] = {}
+    for url, hist in fetch_hist.items():
+        n_obs = len(hist)
+        n_changes = sum(1 for i in range(1, n_obs) if hist[i][1] != hist[i - 1][1])
+        lam = (_SIG_SCALE * n_changes) // max(n_obs - 1, 1)
+        fresh[url] = lam * (now_round - hist[-1][0])
+    return {
+        url: float(
+            rank.get(url, 0) * cfg.signal_w_pagerank
+            + inlinks.get(url, 0) * cfg.signal_w_anchor
+            + fresh.get(url, 0) * cfg.signal_w_freshness
+        )
+        for url in set(rank) | set(inlinks) | set(fresh)
+    }
 
 
 @dataclass
@@ -104,6 +162,10 @@ def simulate(
     # cumulative fetch-event counters for the F6 budget
     total_fetches = 0
     fetches_by_lang: dict[str, int] = {}
+    # measured-signal inputs (mirror of the committed fetched table):
+    # latest-fetch out-links per url + (round, text-md5) history per url
+    fetched_links: dict[str, list[str]] = {}
+    fetch_hist: dict[str, list[tuple[int, str]]] = {}
 
     # ---- fetch rounds ----
     for r in range(1, max_rounds + 1):
@@ -138,6 +200,18 @@ def simulate(
         t_start = r * cfg.round_duration_s
         t_end = t_start + cfg.round_duration_s
 
+        # measured-signal firing round: signal-covered urls are ordered (and,
+        # if touched, persisted) by the composed absolute priority — mirror
+        # of rounds.py's _signals_fire/_signal_priorities
+        eff: dict[str, float] | None = None
+        if cfg.signal_priority_every > 0 and r % cfg.signal_priority_every == 0:
+            eff = _signal_eff(fetched_links, fetch_hist, r, cfg)
+
+        def pr_of(row: SimRow) -> float:
+            if eff is not None and row.url in eff:
+                return eff[row.url]
+            return row.priority
+
         by_host: dict[str, list[SimRow]] = {}
         for row in pending:
             by_host.setdefault(row.host, []).append(row)
@@ -150,9 +224,10 @@ def simulate(
             rows_by_url = {}
             for row in rows:
                 if any(path_of(row.url).startswith(p) for p in prefixes):
+                    row.priority = pr_of(row)  # denied rows persist signal pri
                     row.status = "denied"
                     continue
-                heapq.heappush(heap, (-row.priority, row.discovery_seq, row.url))
+                heapq.heappush(heap, (-pr_of(row), row.discovery_seq, row.url))
                 rows_by_url[row.url] = row
             t = max(st.next_allowed_vt, t_start)
             k = 0
@@ -163,7 +238,7 @@ def simulate(
                 k += 1
 
         if cfg.max_urls_per_round > 0:
-            fetch_entries.sort(key=lambda e: (-e[0].priority, e[0].discovery_seq))
+            fetch_entries.sort(key=lambda e: (-pr_of(e[0]), e[0].discovery_seq))
             fetch_entries = fetch_entries[: cfg.max_urls_per_round]
         n_scheduled = len(fetch_entries)  # pre-budget-cap (engine's n_sched)
 
@@ -171,7 +246,7 @@ def simulate(
         # round entirely (stay pending, no clock slot — mirrors the engine's
         # pre-cache window cut) ----
         if cfg.limit > 0:
-            fetch_entries.sort(key=lambda e: (-e[0].priority, e[0].discovery_seq))
+            fetch_entries.sort(key=lambda e: (-pr_of(e[0]), e[0].discovery_seq))
             kept, used = [], {}
             for row, vt in fetch_entries:
                 page = pages.get(row.url)
@@ -193,6 +268,12 @@ def simulate(
                     used[key] = used.get(key, 0) + 1
                 kept.append((row, vt))
             fetch_entries = kept
+
+        # rows that made it into the round (post-cut, post-budget) are the
+        # engine's "touched" set — they persist the signal priority
+        if eff is not None:
+            for row, _vt in fetch_entries:
+                row.priority = pr_of(row)
 
         # ---- host clock advance inputs (mirror of advance_host_state) ----
         per_host_sched: dict[str, list[float]] = {}
@@ -247,6 +328,10 @@ def simulate(
             row.status = "fetched"
             row.last_round = r
             res.fetched_text[row.url] = page["text"]
+            fetched_links[row.url] = list(page["links"])
+            fetch_hist.setdefault(row.url, []).append(
+                (r, hashlib.md5(page["text"].encode("utf-8")).hexdigest())
+            )
             ok_fetches.append(row)
             total_fetches += 1
             fetches_by_lang[page["lang"]] = fetches_by_lang.get(page["lang"], 0) + 1
