@@ -494,6 +494,76 @@ class TestFrameSample:
         assert len(rows) == 8  # capped at 8 frames per row
 
 
+class TestGifFrames:
+    """Multi-frame GIF decode + REAL frame sampling (VERDICT r4 item 3):
+    encode_gif_anim ↔ decode_gif_frames roundtrip exactly, and
+    frame_sample_gif's frame_md5 is the md5 of the true decoded RGB
+    bytes — the pixel-exactness the oracle lane (geometry-only) leans on."""
+
+    def _frames(self, n, w=5, h=4, seed=3):
+        import numpy as np
+
+        out = []
+        yy, xx = np.mgrid[0:h, 0:w]
+        for f in range(n):
+            v = (((seed + 5 * f + 3 * xx + 7 * yy) % 6) * 40).astype(np.uint8)
+            out.append(np.stack([v, 255 - v, (v * 2) % 256], axis=-1).astype(np.uint8))
+        return out
+
+    def test_anim_roundtrip_exact(self):
+        import numpy as np
+
+        from crawld_spark.operators.multimodal import (
+            decode_gif_frames,
+            encode_gif_anim,
+        )
+
+        frames = self._frames(4)
+        w, h, back = decode_gif_frames(encode_gif_anim(frames))
+        assert (w, h) == (5, 4)
+        assert back.shape == (4, 4, 5, 3)
+        for f, b in zip(frames, back):
+            assert (f == b).all()
+
+    def test_single_frame_still_decodes_via_decode_gif(self):
+        from crawld_spark.operators.multimodal import decode_gif, encode_gif_anim
+
+        frames = self._frames(3)
+        w, h, c, first = decode_gif(encode_gif_anim(frames))
+        assert (w, h, c) == (5, 4, 3)
+        assert (first == frames[0]).all()
+
+    def test_frame_sample_gif_md5_exact(self, spark):
+        import hashlib
+
+        from crawld_spark.operators.multimodal import encode_gif_anim, frame_sample_gif
+
+        frames = self._frames(5)
+        df = spark.createDataFrame(
+            [(1, encode_gif_anim(frames))], "doc_id long, payload binary"
+        )
+        rows = sorted(
+            frame_sample_gif(df, every_n=2, max_frames=3).collect(),
+            key=lambda r: r.frame_idx,
+        )
+        # 5 frames, every 2nd, cap 3 → src frames 0, 2, 4
+        assert [(r.frame_idx, r.src_frame) for r in rows] == [(0, 0), (1, 2), (2, 4)]
+        assert all((r.width, r.height, r.n_frames, r.decoded) == (5, 4, 5, True)
+                   for r in rows)
+        assert [r.frame_md5 for r in rows] == [
+            hashlib.md5(frames[s].tobytes()).hexdigest() for s in (0, 2, 4)
+        ]
+
+    def test_non_gif_falls_back_to_stub(self, spark):
+        from crawld_spark.operators.multimodal import frame_sample_gif
+
+        df = spark.createDataFrame(
+            [(1, b"not a gif at all, just bytes")], "doc_id long, payload binary"
+        )
+        rows = frame_sample_gif(df, every_n=4, max_frames=3).collect()
+        assert rows and all(not r.decoded and r.width == 0 for r in rows)
+
+
 @pytest.mark.usefixtures("spark")
 class TestKMeansIterationShape:
     """VERDICT r3 item 3: no exchange of the k-expanded frame inside a
@@ -901,6 +971,22 @@ class TestParagraphDedup:
         # later docs keep only their unique tail chunk
         assert got[2] == md5("red green blue cyan magenta yellow black white")
         assert got[3] == md5("alpha beta gamma delta epsilon zeta eta theta")
+
+    def test_empty_doc_emits_no_chunks(self, spark):
+        """ADVICE r4: empty/whitespace-only docs must emit ZERO chunk rows
+        (matching the oracle's generate_series semantics), not one ''
+        chunk; such docs then simply vanish from paragraph_dedup output."""
+        from crawld_spark.operators.dedup import paragraph_chunks, paragraph_dedup
+
+        docs = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "one two three")],
+            "doc_id long, text string",
+        )
+        ch = paragraph_chunks(docs, chunk_words=8).collect()
+        assert {r.doc_id for r in ch} == {3}
+        assert [(r.pos, r.chunk) for r in ch] == [(0, "one two three")]
+        dd = {r.doc_id for r in paragraph_dedup(docs, chunk_words=8).collect()}
+        assert dd == {3}
 
     def test_no_window_in_plan(self, spark):
         """The keep-first rule must be groupBy(min-struct)+join, never a
