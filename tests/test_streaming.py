@@ -311,3 +311,61 @@ class TestNearDupStream:
         got = {r.doc_id: r.is_dup for r in snd.decisions().collect()}
         # none of batch 0's docs may be flagged against their own bands
         assert got == {i: False for i in range(10)}
+
+    def test_mid_batch_kill_then_redrain(self, spark, tmp_path):
+        """VERDICT r4 item 7: kill the QUERY between the bucket-index
+        append and the decisions commit of a mid-stream batch, then
+        re-drain from the same checkpoint — no duplicate and no lost
+        verdicts, and the final table equals one-shot batch semantics."""
+        from pyspark.sql import functions as F
+
+        from crawld_spark.operators.dedup import neardup_mark
+        from crawld_spark.streaming.neardup_stream import (
+            StreamingNearDup,
+            T_BUCKETS,
+        )
+
+        docs = self._docs(spark)
+        want = {r.doc_id: r.is_dup for r in neardup_mark(docs).collect()}
+
+        class KillAfterBands(StreamingNearDup):
+            kill_bid = 1
+            killed = False
+
+            def _on_batch(self, batch_df, batch_id):
+                bid = int(batch_id)
+                if bid == self.kill_bid and not KillAfterBands.killed:
+                    KillAfterBands.killed = True
+                    # replicate the crash state the module docstring names:
+                    # bands durable, decisions not, then die mid-batch
+                    bands = (
+                        self._bands(batch_df)
+                        .select("band_id", "band_key").distinct()
+                        .withColumn("src_batch", F.lit(bid).cast("long"))
+                    )
+                    self.cat.append(T_BUCKETS, bands)
+                    raise RuntimeError("injected mid-batch kill")
+                return super()._on_batch(batch_df, batch_id)
+
+        stream = self._stream_split(spark, tmp_path, docs, [7, 11, 12])
+        wh, ckpt = str(tmp_path / "wh"), str(tmp_path / "ckpt")
+        snd = KillAfterBands(spark, wh)
+        try:
+            snd.start(stream, ckpt, available_now=True)
+            raise AssertionError("query should have died on batch 1")
+        except Exception as e:  # StreamingQueryException wrapping the kill
+            assert "injected mid-batch kill" in str(e)
+
+        # re-drain from the SAME checkpoint with a fresh (healthy) instance
+        stream2 = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "docs_in"))
+        )
+        snd2 = StreamingNearDup(spark, wh)
+        snd2.start(stream2, ckpt, available_now=True)
+
+        rows = snd2.decisions().collect()
+        got = {r.doc_id: r.is_dup for r in rows}
+        assert len(rows) == len(got) == len(want)  # no dup, no loss
+        assert got == want
