@@ -80,6 +80,7 @@ def pq_train(
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample: int | None = None,
 ) -> list[Book]:
     """Train per-subspace codebooks; returns ``books[s][code] = dsub ints``.
 
@@ -90,7 +91,15 @@ def pq_train(
     beyond row width. Codebooks travel driver→plan as literals (m·ksub·dsub
     ints, a bounded collect like similarity.kmeans_assign's centroids), so
     the loop adds no lineage growth.
+
+    ``train_sample`` (VERDICT r4 item 4): run the update iterations over
+    the first ``train_sample`` rows in ``(md5(id), id)`` order — a
+    deterministic hash-ordered PREFIX of the seed ordering, so seeding is
+    unchanged; the full corpus is only touched by pq_encode afterwards.
+    None = train on everything.
     """
+    if train_sample is not None and train_sample < ksub:
+        raise ValueError(f"train_sample={train_sample} < ksub={ksub}")
     dim_row = corpus.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_row["d"])
     if dim % m != 0:
@@ -113,13 +122,22 @@ def pq_train(
         for s in range(m)
     ]
 
+    train = qc
+    if train_sample is not None:
+        train = (
+            qc.select("_id", "qv", F.md5(F.col("_id").cast("string")).alias("_h"))
+            .orderBy(F.asc("_h"), F.asc("_id"))
+            .limit(train_sample)
+            .drop("_h")
+            .localCheckpoint(eager=True)  # bounded; reused every iteration
+        )
     # n_iter ASSIGNMENT passes with n_iter-1 codeword updates between them
     # (kmeans_assign's contract): the returned books are exactly the ones
     # the final assignment uses, so pq_encode reproduces that assignment —
     # and the DuckDB twin (queries._pq_ctes) scores a{n_iter} against
     # book{n_iter-1} verbatim.
     for _ in range(max(1, n_iter) - 1):
-        assigned = qc.select(
+        assigned = train.select(
             F.explode(
                 F.array(
                     *[
@@ -335,6 +353,7 @@ def ivf_pq_topk(
     rfactor: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample: int | None = None,
 ) -> DataFrame:
     """The full IVFADC composition (FAISS's 10^10-vector architecture,
     Jégou et al. 2011): coarse k-means cells bound WHICH rows are scanned
@@ -364,9 +383,13 @@ def ivf_pq_topk(
     # k-means cell label
     corpus = corpus.select(F.col(id_col), F.col(vec_col))
     labeled = kmeans_assign(
-        corpus, k=n_cells, n_iter=cell_iter, id_col=id_col, vec_col=vec_col
+        corpus, k=n_cells, n_iter=cell_iter, id_col=id_col, vec_col=vec_col,
+        train_sample=train_sample,
     )
-    books = pq_train(corpus, m, ksub, pq_iter, id_col=id_col, vec_col=vec_col)
+    books = pq_train(
+        corpus, m, ksub, pq_iter, id_col=id_col, vec_col=vec_col,
+        train_sample=train_sample,
+    )
     codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col).join(
         labeled.select(F.col(id_col), "label"), id_col
     )

@@ -206,6 +206,7 @@ def kmeans_assign(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample: int | None = None,
 ) -> DataFrame:
     """Train an IVF coarse quantizer with deterministic Lloyd iterations and
     return the cell assignment ``(id_col, vec_col, label)`` — the exact
@@ -236,9 +237,19 @@ def kmeans_assign(
     max_by combine for large k (one exchange of N rows — never the
     k-expanded frame, never a window: r3's Window.partitionBy(id) shuffled
     k×N rows per iteration), followed by one (cell, pos) partial-aggregated
-    shuffle for the centroid update. k-means|| style seeding over a sample
-    is the drop-in upgrade when k is large.
+    shuffle for the centroid update.
+
+    ``train_sample`` (VERDICT r4 item 4): train the centroids on the
+    first ``train_sample`` corpus rows in ``(md5(id), id)`` order — a
+    deterministic hash-ordered sample, and a PREFIX of the same ordering
+    the seeds use, so seeding is unchanged — then assign the FULL corpus
+    once with the trained centroids. At 10^10 vectors the Lloyd
+    iterations touch a bounded frame instead of the corpus; only the
+    single final assignment is corpus-sized. None = train on everything
+    (the exact-replay mode the unsampled oracles pin).
     """
+    if train_sample is not None and train_sample < k:
+        raise ValueError(f"train_sample={train_sample} < k={k}")
     qc = corpus.select(F.col(id_col), quantize(vec_col).alias("qv")).cache()
     seeds = (
         qc.select("qv", F.md5(F.col(id_col).cast("string")).alias("_h"), F.col(id_col))
@@ -250,11 +261,25 @@ def kmeans_assign(
         (i, [int(x) for x in r["qv"]]) for i, r in enumerate(seeds)
     ]
 
-    assign = None
-    for _ in range(max(1, n_iter)):
-        assign = assign_nearest(qc, cents, id_col)
+    train = qc
+    if train_sample is not None:
+        train = (
+            qc.select(
+                F.col(id_col), "qv", F.md5(F.col(id_col).cast("string")).alias("_h")
+            )
+            .orderBy(F.asc("_h"), F.asc(id_col))
+            .limit(train_sample)
+            .drop("_h")
+            .localCheckpoint(eager=True)  # bounded; reused every iteration
+        )
+    # n_iter assignment passes with n_iter-1 centroid updates between them:
+    # the loop runs the updates over the training frame, the final pass
+    # assigns the full corpus with the resulting centroids (identical to
+    # the historical assign-then-update loop when train == qc)
+    for _ in range(max(1, n_iter) - 1):
+        a = assign_nearest(train, cents, id_col)
         stats = (
-            assign.select("label", F.posexplode("qv").alias("pos", "v"))
+            a.select("label", F.posexplode("qv").alias("pos", "v"))
             .groupBy("label", "pos")
             .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
             .groupBy("label")
@@ -271,6 +296,7 @@ def kmeans_assign(
             for r in stats
         }
         cents = [(c, new.get(c, v)) for c, v in cents]  # empty cell keeps centroid
+    assign = assign_nearest(qc, cents, id_col)
     # materialize the final assignment (small: id + label), then release the
     # quantized cache — the returned plan must not depend on freed blocks
     final = assign.select(id_col, "label").localCheckpoint(eager=True)
@@ -285,14 +311,18 @@ def ivf_topk_trained(
     n_probe: int = 1,
     n_cells: int = 8,
     n_iter: int = 5,
+    train_sample: int | None = None,
 ) -> DataFrame:
     """IVF over TRAINED cells: k-means assignment (kmeans_assign) feeding
     the same multi-probe search as ivf_topk. The training loop is
     deterministic with a fixed iteration count, so the DuckDB twin UNROLLS
     it into one statement (queries.py _kmeans_ivf_sql — r4; no rows-only
     lane); the recall test (tests/test_similarity.py) additionally pins
-    trained ≥ per-label."""
-    labeled = kmeans_assign(corpus, k=n_cells, n_iter=n_iter)
+    trained ≥ per-label. ``train_sample`` trains the cells on a
+    hash-ordered sample (kmeans_assign docstring)."""
+    labeled = kmeans_assign(
+        corpus, k=n_cells, n_iter=n_iter, train_sample=train_sample
+    )
     return ivf_topk(queries, labeled, k=k, n_probe=n_probe)
 
 

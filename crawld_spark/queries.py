@@ -879,14 +879,26 @@ def ann_ivf_topk(spark, sf_dir):
 # division per score, so every training decision is bit-identical across
 # engines — no inlined trained constants, valid at any scale factor.
 _KM_K, _KM_ITER, _KM_DIM = 8, 4, 64
+# ANN trainings run their Lloyd updates over a deterministic hash-ordered
+# sample of this many rows (VERDICT r4 item 4) — the final assignment /
+# encode still covers the full corpus. 256 < the sf0.01 corpus (497), so
+# the oracle comparison exercises the sampled path, not a degenerate
+# sample == corpus case.
+_TRAIN_SAMPLE = 256
 
 
-def _kmeans_train_ctes(src: str, k: int, n_iter: int, dim: int) -> list[str]:
+def _kmeans_train_ctes(
+    src: str, k: int, n_iter: int, dim: int, sample: int | None = None
+) -> list[str]:
     """CTE chain replaying kmeans_assign verbatim over a corpus CTE named
     ``src`` (columns vec_id, qv): md5-ranked seeds, then per iteration one
     argmax-assignment CTE and one floor-mean centroid-update CTE. The
     final assignment is CTE ``a{n_iter}`` (vec_id, qv, label). Shared by
-    the ann_ivf_kmeans and semantic_dedup twins."""
+    the ann_ivf_kmeans and semantic_dedup twins. ``sample`` mirrors
+    kmeans_assign(train_sample=...): the update iterations run over the
+    first ``sample`` rows in (md5(vec_id), vec_id) order — a prefix of
+    the seed ordering, so cent0 is untouched — and only the FINAL
+    assignment touches the full ``src``."""
 
     def dot(a: str, b: str) -> str:
         return (
@@ -913,14 +925,23 @@ def _kmeans_train_ctes(src: str, k: int, n_iter: int, dim: int) -> list[str]:
                qv AS cv
         FROM {src}) WHERE label < {k})""",
     ]
+    tsrc = src
+    if sample is not None:
+        tsrc = f"{src}ts"
+        ctes.append(
+            f"""{tsrc} AS (
+      SELECT vec_id, qv FROM {src}
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {sample})"""
+        )
     for i in range(1, n_iter + 1):
+        isrc = src if i == n_iter else tsrc  # final pass: full corpus
         ctes.append(
             f"""a{i} AS (
       SELECT vec_id, qv, label FROM (
-        SELECT {src}.vec_id, {src}.qv, t.label,
-               row_number() OVER (PARTITION BY {src}.vec_id
-                                  ORDER BY {score(f'{src}.qv', 't.cv')} DESC, t.label) AS r
-        FROM {src} CROSS JOIN cent{i - 1} t) WHERE r = 1)"""
+        SELECT {isrc}.vec_id, {isrc}.qv, t.label,
+               row_number() OVER (PARTITION BY {isrc}.vec_id
+                                  ORDER BY {score(f'{isrc}.qv', 't.cv')} DESC, t.label) AS r
+        FROM {isrc} CROSS JOIN cent{i - 1} t) WHERE r = 1)"""
         )
         if i < n_iter:  # the final assignment needs no further update
             ctes.append(
@@ -947,7 +968,7 @@ def _kmeans_ivf_sql(k: int = _KM_K, n_iter: int = _KM_ITER, dim: int = _KM_DIM) 
         f"q AS (SELECT vec_id AS qid, {_QUANT_SQL} AS qv FROM embeddings WHERE vec_id < 3)",
         f"c AS (SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings WHERE vec_id >= 3)",
     ]
-    ctes += _kmeans_train_ctes("c", k, n_iter, dim)
+    ctes += _kmeans_train_ctes("c", k, n_iter, dim, sample=_TRAIN_SAMPLE)
     # multi-probe IVF search over the trained cells — identical shape to
     # _ANN_IVF_SQL (floor-mean centroids recomputed from the labeled corpus,
     # exactly what ivf_topk does with kmeans_assign's output)
@@ -1015,6 +1036,7 @@ def ann_ivf_kmeans(spark, sf_dir):
         emb.where(F.col("vec_id") < 3),
         emb.where(F.col("vec_id") >= 3).select("vec_id", "embedding"),
         k=5, n_probe=2, n_cells=_KM_K, n_iter=_KM_ITER,
+        train_sample=_TRAIN_SAMPLE,
     )
 
 
@@ -2533,7 +2555,12 @@ def perplexity_buckets(spark, sf_dir):
 
 
 def _pq_ctes(
-    m: int, ksub: int, n_iter: int, dim: int, include_source: bool = True
+    m: int,
+    ksub: int,
+    n_iter: int,
+    dim: int,
+    include_source: bool = True,
+    sample: int | None = None,
 ) -> list[str]:
     """CTE chain replaying pq.pq_train + pq_encode + the per-(qid, nid) ADC
     scores, verbatim: md5-ranked seed rows (subvector slices), per
@@ -2543,7 +2570,11 @@ def _pq_ctes(
     (qid, nid, adc, nrec) and ``pqn`` (qid, nq). All internal CTEs are
     p-prefixed so the chain composes with _kmeans_train_ctes (the IVF-PQ
     twin); ``include_source=False`` skips the ``q``/``c`` source CTEs when
-    the caller defines them."""
+    the caller defines them. ``sample`` mirrors pq_train(train_sample=...):
+    the codeword-update iterations run over the first ``sample`` corpus
+    rows in (md5(vec_id), vec_id) order (a prefix of the seed ordering —
+    pbook0 untouched); the FINAL assignment (= the encode, pa{n_iter})
+    still covers the full corpus."""
     dsub = dim // m
 
     def dot(a: str, b: str) -> str:
@@ -2575,15 +2606,26 @@ def _pq_ctes(
       SELECT vec_id, t.s, qv[t.s * {dsub} + 1 : (t.s + 1) * {dsub}] AS sv
       FROM c CROSS JOIN {subspaces} t)""",
     ]
+    tsub = "psub"
+    if sample is not None:
+        tsub = "psubts"
+        ctes.append(
+            f"""psubts AS (
+      SELECT psub.* FROM psub JOIN (
+        SELECT vec_id FROM c
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {sample}) ts
+      ON ts.vec_id = psub.vec_id)"""
+        )
     for i in range(1, n_iter + 1):
+        isub = "psub" if i == n_iter else tsub  # final pass = the encode
         ctes.append(
             f"""pa{i} AS (
       SELECT vec_id, s, sv, code FROM (
-        SELECT psub.vec_id, psub.s, psub.sv, b.code,
-               row_number() OVER (PARTITION BY psub.vec_id, psub.s
-                                  ORDER BY {nsq('b.cv')} - 2 * {dot('psub.sv', 'b.cv')} ASC,
+        SELECT {isub}.vec_id, {isub}.s, {isub}.sv, b.code,
+               row_number() OVER (PARTITION BY {isub}.vec_id, {isub}.s
+                                  ORDER BY {nsq('b.cv')} - 2 * {dot(f'{isub}.sv', 'b.cv')} ASC,
                                            b.code) AS r
-        FROM psub JOIN pbook{i - 1} b ON b.s = psub.s) WHERE r = 1)"""
+        FROM {isub} JOIN pbook{i - 1} b ON b.s = {isub}.s) WHERE r = 1)"""
         )
         if i < n_iter:
             ctes.append(
@@ -2627,7 +2669,7 @@ _PQ_COS = (
 
 
 def _pq_adc_sql() -> str:
-    ctes = _pq_ctes(_PQ_M, _PQ_KSUB, _PQ_ITER, _PQ_DIM)
+    ctes = _pq_ctes(_PQ_M, _PQ_KSUB, _PQ_ITER, _PQ_DIM, sample=_TRAIN_SAMPLE)
     ctes.append(
         f"""ranked AS (
       SELECT a.qid, nid, {_PQ_COS} AS cos,
@@ -2643,7 +2685,7 @@ def _pq_adc_sql() -> str:
 
 
 def _pq_rerank_sql(k: int = 5, rfactor: int = 3) -> str:
-    ctes = _pq_ctes(_PQ_M, _PQ_KSUB, _PQ_ITER, _PQ_DIM)
+    ctes = _pq_ctes(_PQ_M, _PQ_KSUB, _PQ_ITER, _PQ_DIM, sample=_TRAIN_SAMPLE)
     dim = _PQ_DIM
 
     def dotf(a: str, b: str) -> str:
@@ -2715,8 +2757,8 @@ def _ivf_pq_sql(
         f"q AS (SELECT vec_id AS qid, {_QUANT_SQL} AS qv FROM embeddings WHERE vec_id < 3)",
         f"c AS (SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings WHERE vec_id >= 3)",
     ]
-    ctes += _kmeans_train_ctes("c", n_cells, cell_iter, dim)
-    ctes += _pq_ctes(m, ksub, pq_iter, dim, include_source=False)
+    ctes += _kmeans_train_ctes("c", n_cells, cell_iter, dim, sample=_TRAIN_SAMPLE)
+    ctes += _pq_ctes(m, ksub, pq_iter, dim, include_source=False, sample=_TRAIN_SAMPLE)
     ctes += [
         f"lc AS (SELECT vec_id AS nid, label, qv AS nv FROM a{cell_iter})",
         """cflat AS (SELECT label, unnest(nv) AS v,
@@ -2788,6 +2830,7 @@ def ann_ivf_pq(spark, sf_dir):
         cell_iter=_IVFPQ_CITER,
         pq_iter=_IVFPQ_PITER,
         rfactor=_IVFPQ_RF,
+        train_sample=_TRAIN_SAMPLE,
     )
 
 
@@ -2803,7 +2846,9 @@ def ann_pq_adc(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.where(F.col("vec_id") >= 3)
     qs = emb.where(F.col("vec_id") < 3)
-    books = pq.pq_train(corpus, m=_PQ_M, ksub=_PQ_KSUB, n_iter=_PQ_ITER)
+    books = pq.pq_train(
+        corpus, m=_PQ_M, ksub=_PQ_KSUB, n_iter=_PQ_ITER, train_sample=_TRAIN_SAMPLE
+    )
     codes = pq.pq_encode(corpus, books)
     return pq.pq_topk_adc(qs, codes, books, k=5)
 
@@ -2820,7 +2865,9 @@ def ann_pq_rerank(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.where(F.col("vec_id") >= 3)
     qs = emb.where(F.col("vec_id") < 3)
-    books = pq.pq_train(corpus, m=_PQ_M, ksub=_PQ_KSUB, n_iter=_PQ_ITER)
+    books = pq.pq_train(
+        corpus, m=_PQ_M, ksub=_PQ_KSUB, n_iter=_PQ_ITER, train_sample=_TRAIN_SAMPLE
+    )
     return pq.pq_topk_rerank(qs, corpus, books, k=5, rfactor=3)
 
 

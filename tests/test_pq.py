@@ -184,3 +184,87 @@ class TestIvfPq:
         assert rows
         for r in rows:
             assert brute[(r.qid, r.nid)] == r.cos
+
+
+class TestSampledTraining:
+    """train_sample (VERDICT r4 item 4): Lloyd updates over a hash-ordered
+    sample, full-corpus assignment/encode — deterministic, and the
+    degenerate sample >= corpus case must equal unsampled training."""
+
+    def test_sample_geq_corpus_identical(self, split):
+        _, corpus = split
+        full = pq.pq_train(corpus, m=8, ksub=16, n_iter=3)
+        sampled = pq.pq_train(corpus, m=8, ksub=16, n_iter=3,
+                              train_sample=10_000_000)
+        assert full == sampled
+
+    def test_sampled_books_deterministic(self, split):
+        _, corpus = split
+        a = pq.pq_train(corpus, m=4, ksub=8, n_iter=2, train_sample=100)
+        b = pq.pq_train(corpus, m=4, ksub=8, n_iter=2, train_sample=100)
+        assert a == b
+
+    def test_sample_too_small_rejected(self, split):
+        _, corpus = split
+        with pytest.raises(ValueError, match="train_sample"):
+            pq.pq_train(corpus, m=4, ksub=16, train_sample=8)
+        with pytest.raises(ValueError, match="train_sample"):
+            similarity.kmeans_assign(corpus, k=8, train_sample=4)
+
+    def test_kmeans_sample_geq_corpus_identical(self, split):
+        _, corpus = split
+        full = {
+            r.vec_id: r.label
+            for r in similarity.kmeans_assign(corpus, k=4, n_iter=3).collect()
+        }
+        sampled = {
+            r.vec_id: r.label
+            for r in similarity.kmeans_assign(
+                corpus, k=4, n_iter=3, train_sample=10_000_000
+            ).collect()
+        }
+        assert full == sampled
+
+
+class TestRecallDialTable:
+    """Monotonicity guard for the published dial table
+    (BENCH/PQ_RECALL_r5.md, measured at sf0.1): at fixed m, recall@k is
+    non-decreasing in rerank depth and in n_probe — the property future
+    compression changes must preserve. Runs the small-corpus version of
+    the same grid (sampled training, the production path)."""
+
+    def test_monotone_in_rfactor_and_probe(self, split):
+        queries, corpus = split
+        brute = {}
+        for r in similarity.brute_force_topk(queries, corpus, k=5).collect():
+            brute.setdefault(r.qid, set()).add(r.nid)
+
+        def recall(rows):
+            got = {}
+            for r in rows:
+                got.setdefault(r.qid, set()).add(r.nid)
+            return sum(len(got.get(q, set()) & b) for q, b in brute.items()) / sum(
+                len(b) for b in brute.values()
+            )
+
+        books = pq.pq_train(corpus, m=4, ksub=8, n_iter=2, train_sample=256)
+        codes = pq.pq_encode(corpus, books)
+        r_adc = recall(pq.pq_topk_adc(queries, codes, books, k=5).collect())
+        r_rr3 = recall(
+            pq.pq_topk_rerank(queries, corpus, books, k=5, rfactor=3, codes=codes).collect()
+        )
+        r_rr10 = recall(
+            pq.pq_topk_rerank(queries, corpus, books, k=5, rfactor=10, codes=codes).collect()
+        )
+        assert r_adc <= r_rr3 <= r_rr10
+
+        probes = [
+            recall(
+                pq.ivf_pq_topk(
+                    queries, corpus, k=5, n_cells=4, n_probe=p, m=4, ksub=8,
+                    rfactor=10, train_sample=256,
+                ).collect()
+            )
+            for p in (1, 2, 4)
+        ]
+        assert probes == sorted(probes)
