@@ -92,6 +92,8 @@ HEADLINE = [
     "zorder_key",
     "frontier_prioritize",
     "bm25_topk",
+    # --- r5 additions ---
+    "frame_sample",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM
