@@ -94,6 +94,8 @@ HEADLINE = [
     "bm25_topk",
     # --- r5 additions ---
     "frame_sample",
+    "surt_cdx_index",
+    "temperature_resample",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

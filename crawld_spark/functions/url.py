@@ -77,3 +77,39 @@ def canonicalize_url(urls: pd.Series) -> pd.Series:
 @pandas_udf(StringType())
 def url_host(urls: pd.Series) -> pd.Series:
     return urls.map(host_of, na_action="ignore")
+
+
+def surt_key(url):
+    """SURT sort key of an already-CANONICAL url (Column → Column): the
+    Common-Crawl / OpenWayback index key form — host labels reversed and
+    comma-joined (leading ``www.`` dropped), ``)`` separator, then the
+    path with any query-string parameters sorted::
+
+        http://www.example.com/a/b?b=2&a=1  →  com,example)/a/b?a=1&b=2
+
+    Reversed-host keys make one domain's captures (and all its subdomains)
+    a contiguous key range — the property the CDX index leans on: a
+    range-partitioned sort by this key turns "every capture of *.example.com"
+    into a partition-pruned range scan instead of a full-index filter, and
+    zone maps prune within files. Pure JVM built-ins (whole-stage codegen,
+    no UDF): regexp scheme strip, split/reverse/join for the host,
+    sort_array for the query params.
+    """
+    from pyspark.sql import functions as F
+
+    rest = F.regexp_replace(url, r"^[a-z][a-z0-9+.-]*://", "")
+    slash = F.instr(rest, "/")
+    host = F.when(slash > 0, F.substring(rest, F.lit(1), slash - 1)).otherwise(rest)
+    path = F.when(slash > 0, F.substr(rest, slash)).otherwise(F.lit("/"))
+    host_nw = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host_nw, r"\.")), ",")
+    qmark = F.instr(path, "?")
+    p = F.when(qmark > 0, F.substring(path, F.lit(1), qmark - 1)).otherwise(path)
+    q = F.when(
+        qmark > 0,
+        F.concat(
+            F.lit("?"),
+            F.array_join(F.sort_array(F.split(F.substr(path, qmark + 1), "&")), "&"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(rev, F.lit(")"), p, q)

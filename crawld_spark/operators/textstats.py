@@ -402,6 +402,52 @@ def stratified_sample(
     )
 
 
+def temperature_resample(
+    docs: DataFrame,
+    total: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based language-balanced resampling (the mT5 / XLM-R
+    alpha-sampling discipline at T=2, i.e. alpha = 0.5): per-group quotas
+    proportional to sqrt(n_group) — head languages are downweighted, tail
+    languages upweighted relative to natural frequency — then keep each
+    group's quota by md5-hash order (the stratified_sample idiom).
+
+    Integer-exact cross-engine: the weight is isqrt(n) = floor(sqrt(n)),
+    which IEEE-double sqrt gets exactly right for n < 2^52 (sqrt is
+    correctly rounded and the true root is ≥ 1/(2·sqrt(n)) away from the
+    next integer — beyond half an ulp for all n < 2^52); quotas are
+    ``total · w_g // Σw`` with an INTEGER Σw, so no float aggregation
+    order can differ between engines (the repo-wide rule). Quotas are
+    floor-allocated; the ≤ (#groups - 1) residual docs are deliberately
+    left unassigned rather than tie-broken by a float.
+
+    Scale shape: one count per group (map-side combinable), quota math on
+    the group-cardinality frame (broadcast back), one group-keyed window
+    bounded by the group's own rows — identical plan to stratified_sample
+    with a computed per-group cap.
+    """
+    from pyspark.sql.window import Window
+
+    counts = docs.groupBy(group_col).agg(F.count("*").cast("long").alias("_n"))
+    w = F.floor(F.sqrt(F.col("_n").cast("double"))).cast("long")
+    weighted = counts.select(group_col, F.col("_n"), w.alias("_w"))
+    total_w = weighted.agg(F.sum("_w").alias("_tw"))
+    quotas = weighted.crossJoin(F.broadcast(total_w)).select(
+        group_col,
+        F.expr(f"({int(total)} * _w) div _tw").cast("long").alias("quota"),
+    )
+    h = F.md5(F.col(id_col).cast("string"))
+    rk = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.join(F.broadcast(quotas), group_col)
+        .withColumn("_rk", F.row_number().over(rk))
+        .where(F.col("_rk") <= F.col("quota"))
+        .select(F.col(id_col), F.col(group_col), F.col("quota"))
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -3342,6 +3342,77 @@ def jpeg_decode_roundtrip(spark, sf_dir):
     )
 
 
+@q(
+    "surt_cdx_index",
+    # SURT/CDX index keys (r5): the engine PARSES canonical urls into
+    # reversed-host sort keys with JVM built-ins; the oracle states the
+    # expected key arithmetically from doc_id (the frame_sample pattern —
+    # parse vs ground truth, not parse vs parse)
+    """
+    SELECT doc_id,
+           'https://www.sub' || (doc_id % 5) || '.host' || (doc_id % 7)
+             || '.example.com/p/' || doc_id
+             || CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1' ELSE '' END AS url,
+           'com,example,host' || (doc_id % 7) || ',sub' || (doc_id % 5)
+             || ')/p/' || doc_id
+             || CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2' ELSE '' END AS surt
+    FROM documents
+    """,
+)
+def surt_cdx_index(spark, sf_dir):
+    """Common-Crawl CDX index keys: SURT (reversed-host) sort keys over
+    canonical urls — functions/url.surt_key. One domain's captures (and
+    every subdomain's) become a contiguous key range, so the CDX store,
+    range-partitioned by this key, answers "all captures under
+    example.com" with a partition-pruned range scan at 10^10 captures.
+    Pure codegen projection (regexp + split/reverse/sort_array), no UDF,
+    no shuffle; query-string params are sorted into the key."""
+    from crawld_spark.functions.url import surt_key
+
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://WWW.Sub"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".Host"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM/p/"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        canonicalize_url(raw).alias("url"),
+    ).select("doc_id", "url", surt_key(F.col("url")).alias("surt"))
+
+
+@q(
+    "temperature_resample",
+    # mT5/XLM-R alpha-sampling at T=2 (alpha = 1/2): quotas ∝ isqrt(n_lang),
+    # integer-exact (isqrt + integer division, no float aggregation), keep
+    # per-lang quota by md5 order
+    """
+    WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY lang),
+    w AS (SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+          FROM c),
+    t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+    q AS (SELECT lang, CAST((200 * w) // tw AS BIGINT) AS quota
+          FROM w CROSS JOIN t),
+    r AS (SELECT d.doc_id, d.lang, q.quota,
+                 row_number() OVER (PARTITION BY d.lang
+                                    ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                             d.doc_id) AS rk
+          FROM documents d JOIN q USING (lang))
+    SELECT doc_id, lang, quota FROM r WHERE rk <= quota
+    """,
+)
+def temperature_resample(spark, sf_dir):
+    """Language-balanced corpus resampling (textstats.temperature_resample):
+    per-language quotas proportional to sqrt(n) — the T=2 temperature
+    sampling mT5/XLM-R use to keep tail languages represented — selected
+    deterministically by hash order. Head languages shed volume, tail
+    languages keep theirs; integer-exact end to end."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return textstats.temperature_resample(d, total=200)
+
+
 # ---------------------------------------------------------------------
 # Driver-row rotation (VERDICT r4 item 1): the driver's correctness gate
 # caps at the FIRST 50 lanes in queries() iteration order.  All 75 lanes

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from crawld_spark.config import CrawlConfig, parse_duration
 from crawld_spark.functions.extract import (
@@ -45,6 +46,86 @@ class TestCanonicalize:
         assert host_of("http://a.b.c/d/e") == "a.b.c"
         assert host_of("http://a.b.c:8080/d") == "a.b.c:8080"
         assert host_of("http://a.b.c") == "a.b.c"
+
+
+class TestSurtKey:
+    """functions/url.surt_key: CDX reversed-host sort keys (r5). Pure
+    column expression — one select, assertions on the literal outputs."""
+
+    @pytest.mark.parametrize(
+        "url,expect",
+        [
+            ("http://www.example.com/a/b?b=2&a=1", "com,example)/a/b?a=1&b=2"),
+            ("https://sub.host3.example.com/p/9", "com,example,host3,sub)/p/9"),
+            ("http://example.com/", "com,example)/"),
+            ("http://www.example.com", "com,example)/"),  # canonical has no bare form, defensive
+            ("http://h.com/x?single=1", "com,h)/x?single=1"),
+        ],
+    )
+    def test_cases(self, spark, url, expect):
+        from crawld_spark.functions.url import surt_key
+
+        got = (
+            spark.createDataFrame([(url,)], "url string")
+            .select(surt_key(F.col("url")).alias("s"))
+            .collect()[0]["s"]
+        )
+        assert got == expect
+
+    def test_domain_range_contiguity(self, spark):
+        """The property the CDX index buys: every capture under one
+        registrable domain sorts into one contiguous key range."""
+        from crawld_spark.functions.url import surt_key
+
+        urls = [
+            "http://a.example.com/1", "http://example.com/2",
+            "http://z.example.com/3", "http://aaa.com/x", "http://zzz.org/y",
+        ]
+        rows = (
+            spark.createDataFrame([(u,) for u in urls], "url string")
+            .select("url", surt_key(F.col("url")).alias("s"))
+            .collect()
+        )
+        ordered = [r.url for r in sorted(rows, key=lambda r: r.s)]
+        ex_positions = [i for i, u in enumerate(ordered) if "example.com" in u]
+        assert ex_positions == list(
+            range(min(ex_positions), max(ex_positions) + 1)
+        )
+
+
+class TestTemperatureResample:
+    def test_sqrt_quotas_exact(self, spark):
+        """n = 100/25/4 per lang → isqrt weights 10/5/2 (tw 17); with
+        total=34 the quotas are exactly 20/10/4 and each lang keeps
+        min(quota, n) docs, chosen by md5-hash order."""
+        from crawld_spark.operators.textstats import temperature_resample
+
+        rows = (
+            [(i, "a") for i in range(100)]
+            + [(1000 + i, "b") for i in range(25)]
+            + [(2000 + i, "c") for i in range(4)]
+        )
+        docs = spark.createDataFrame(rows, "doc_id long, lang string")
+        got = temperature_resample(docs, total=34).collect()
+        by_lang: dict = {}
+        for r in got:
+            by_lang.setdefault(r.lang, []).append(r)
+        assert {l: len(v) for l, v in by_lang.items()} == {"a": 20, "b": 10, "c": 4}
+        assert {r.quota for r in by_lang["a"]} == {20}
+        # natural frequency is 100:25:4; sqrt-tempered is 20:10:4 — the
+        # tail language's share tripled relative to the head's
+        assert 20 / 4 < 100 / 4 / 2
+
+    def test_deterministic(self, spark):
+        from crawld_spark.operators.textstats import temperature_resample
+
+        docs = spark.createDataFrame(
+            [(i, "x" if i % 3 else "y") for i in range(60)],
+            "doc_id long, lang string",
+        )
+        a = sorted((r.doc_id, r.lang) for r in temperature_resample(docs, 30).collect())
+        b = sorted((r.doc_id, r.lang) for r in temperature_resample(docs, 30).collect())
+        assert a == b and a
 
 
 class TestExtraction:
