@@ -498,7 +498,8 @@ def calm_pairs(target: int, max_attempts: int, write: bool) -> dict:
         ],
         "attempts": attempts,
     }
-    path = os.path.join(REPO, "BENCH", "SCALING_r4_calm.json")
+    tag = os.environ.get("SPARK_GRAFT_SCALING_TAG", "r5")
+    path = os.path.join(REPO, "BENCH", f"SCALING_{tag}_calm.json")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         json.dump(summary, f, indent=1)
@@ -507,7 +508,7 @@ def calm_pairs(target: int, max_attempts: int, write: bool) -> dict:
         md = os.path.join(REPO, "BENCH", "BASELINE.md")
         with open(md, "a") as f:
             f.write(
-                "\n## Calm-window raw pairs (r4)\n\n"
+                f"\n## Calm-window raw pairs ({tag})\n\n"
                 f"Engine pairs launched ONLY while the pure-JVM {CALM_KIND} "
                 f"ceiling scaled ≥{CALM_CEIL} across the same {N_LOW}→"
                 f"{N_HIGH}-core step (measured immediately before each "
