@@ -96,6 +96,10 @@ HEADLINE = [
     "frame_sample",
     "surt_cdx_index",
     "temperature_resample",
+    "mirror_hosts",
+    "cdx_prefix_scan",
+    "warc_to_wet",
+    "robots_audit",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

@@ -106,3 +106,52 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select("url", status.alias("status"), "old_digest", "new_digest")
+
+
+def mirror_hosts(
+    docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    min_shared: int = 1,
+    max_hosts_per_digest: int = 16,
+) -> DataFrame:
+    """Mirror/CDN detection: host pairs serving identical content —
+    ``(host_a, host_b, shared_digests)`` with ``host_a < host_b``, kept
+    when the pair shares at least ``min_shared`` distinct exact-content
+    digests. The corpus-level dual of per-document exact dedup: a crawler
+    that discovers ``ftp.x.org`` mirrors ``archive.y.net`` stops paying
+    fetch budget twice (the reference's per-forge dedup-by-clone-URL,
+    /root/reference/crawld.go:109-130, is the single-source special case).
+
+    Scale shape (10^8 hosts, 10^10 pages):
+
+    - pages collapse to DISTINCT ``(host, md5)`` first — text never
+      shuffles, and per-host duplicate mass vanishes map-side;
+    - digests on more than ``max_hosts_per_digest`` hosts are dropped
+      BEFORE the pair join. Shared-content frequency is power-law (one
+      CC-licensed boilerplate page can sit on millions of hosts → that
+      single digest would emit 10^12 pairs); the cap bounds the self-join
+      blowup to K^2 rows per digest and the survivors are precisely the
+      "few hosts, many shared pages" mirror signal the operator is after;
+    - the pair count groups by ``(host_a, host_b)`` — partial-agg
+      collapsible, keys are host strings only.
+    """
+    hd = (
+        docs.select(
+            F.col(host_col).alias("host"), F.md5(F.col(text_col)).alias("dig")
+        )
+        .distinct()
+    )
+    fan = hd.groupBy("dig").agg(F.count("*").alias("_nh"))
+    eligible = fan.where(
+        (F.col("_nh") >= 2) & (F.col("_nh") <= max_hosts_per_digest)
+    ).select("dig")
+    hd = hd.join(eligible, "dig")
+    a = hd.select("dig", F.col("host").alias("host_a"))
+    b = hd.select("dig", F.col("host").alias("host_b"))
+    pairs = a.join(b, "dig").where(F.col("host_a") < F.col("host_b"))
+    return (
+        pairs.groupBy("host_a", "host_b")
+        .agg(F.count("*").cast("long").alias("shared_digests"))
+        .where(F.col("shared_digests") >= F.lit(min_shared))
+    )

@@ -3413,6 +3413,256 @@ def temperature_resample(spark, sf_dir):
     return textstats.temperature_resample(d, total=200)
 
 
+@q(
+    "mirror_hosts",
+    # mirror/CDN detection (r5): planted ground truth — every doc_id % 5
+    # == 0 page carries identical boilerplate text and lands on host
+    # sub0.site(doc_id % 11), so the BOILER digest sits on 11 hosts →
+    # C(11,2) = 55 planted mirror pairs, plus whatever organic exact-dup
+    # pairs the corpus contributes. Digest fanout capped at 16 hosts
+    # BEFORE the pair join (power-law boilerplate guard).
+    f"""
+    WITH d AS (
+      SELECT DISTINCT {_HOST_SYNTH_SQL} AS host,
+             md5(CASE WHEN doc_id % 5 = 0 THEN 'BOILER' ELSE text END) AS dig
+      FROM documents
+    ), fan AS (
+      SELECT dig FROM d GROUP BY dig HAVING count(*) BETWEEN 2 AND 16
+    ), e AS (SELECT d.host, d.dig FROM d JOIN fan USING (dig))
+    SELECT a.host AS host_a, b.host AS host_b,
+           CAST(count(*) AS BIGINT) AS shared_digests
+    FROM e a JOIN e b USING (dig)
+    WHERE a.host < b.host
+    GROUP BY a.host, b.host
+    """,
+)
+def mirror_hosts(spark, sf_dir):
+    """Host pairs serving identical content (operators/corpus.mirror_hosts):
+    the corpus-level dual of exact dedup — a crawler that knows host A
+    mirrors host B stops paying fetch budget twice. Pages collapse to
+    distinct (host, md5) first (text never shuffles), digests on >16 hosts
+    are dropped before the self-join (one viral boilerplate digest on 10^6
+    hosts would otherwise emit 10^12 pairs), and the surviving pair space
+    is K^2-bounded per digest."""
+    from crawld_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("sub"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".site"), (F.col("doc_id") % 11).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("BOILER"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus.mirror_hosts(
+        d, min_shared=1, max_hosts_per_digest=16
+    )
+
+
+@q(
+    "cdx_prefix_scan",
+    # CDX domain range scan (r5): "every capture under host3.example.com"
+    # as a SARGABLE surt-key range [lo, hi) — the predicate form zone maps
+    # and range partitioning prune on ('-' is the successor byte of ',').
+    # Oracle states both the key and the range arithmetically from doc_id.
+    """
+    WITH cdx AS (
+      SELECT doc_id,
+             'com,example,host' || (doc_id % 7) || ',sub' || (doc_id % 5)
+               || ')/p/' || doc_id
+               || CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2' ELSE '' END AS surt
+      FROM documents
+    )
+    SELECT split_part(surt, ')', 1) AS rhost,
+           CAST(count(*) AS BIGINT) AS n_captures,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM cdx
+    WHERE surt >= 'com,example,host3,' AND surt < 'com,example,host3-'
+    GROUP BY rhost
+    """,
+)
+def cdx_prefix_scan(spark, sf_dir):
+    """CDX index range scan: all captures under one registrable domain
+    (every subdomain included) via a sargable range on the SURT key —
+    lo = 'com,example,host3,' ≤ surt < hi = 'com,example,host3-' (the
+    successor string: ',' + 1 = '-'). Because surt_key reverses host
+    labels, the domain's captures are a CONTIGUOUS key range: over a
+    CDX store range-partitioned and sorted by this key the same two
+    bounds become partition pruning + parquet zone-map skips instead of
+    a 10^10-row full-index filter (plan-asserted in
+    tests/test_layout.py::TestCdxPrefixScan). Per-subdomain rollup keys
+    are reversed-host strings; one partial-agg-collapsible groupBy."""
+    from crawld_spark.functions.url import surt_key
+
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("https://sub"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".host"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("")),
+    )
+    cdx = d.select(
+        "doc_id", surt_key(canonicalize_url(raw)).alias("surt")
+    )
+    scanned = cdx.where(
+        (F.col("surt") >= F.lit("com,example,host3,"))
+        & (F.col("surt") < F.lit("com,example,host3-"))
+    )
+    return scanned.groupBy(
+        F.substring_index("surt", ")", 1).alias("rhost")
+    ).agg(
+        F.count("*").cast("long").alias("n_captures"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
+
+
+@q(
+    "warc_to_wet",
+    # WARC→WET conversion (r5): the Common-Crawl derivation — response
+    # records in, text-conversion records out (url, word/char counts,
+    # text digest). The WARC hop is byte-exact (warc_roundtrip gate), so
+    # the oracle states the WET stats directly from documents.text.
+    """
+    SELECT doc_id,
+           'http://d/' || doc_id AS wet_url,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+             AS BIGINT) AS n_words,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           md5(text) AS text_md5
+    FROM documents
+    """,
+)
+def warc_to_wet(spark, sf_dir):
+    """WARC→WET derivation (Common Crawl's text-conversion sidecar): each
+    Arrow batch of documents is serialized into ONE multi-record WARC blob
+    (sources/warc.warc_bytes_of — real framing + HTTP envelopes), parsed
+    back, and the extracted text becomes a WET record. The Python hop
+    carries only the WARC parse + extract_text (the parts Spark cannot
+    express); every WET statistic — whitespace word count, char count,
+    content digest — is a JVM codegen projection OVER the extracted
+    column, so the stats stage is shuffle-free and whole-stage-compiled."""
+    from crawld_spark.functions.extract import extract_text_one, wrap_html_one
+    from crawld_spark.sources.warc import parse_warc_bytes, warc_bytes_of
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def wet(batches):
+        import pandas as pd
+
+        base = pd.Timestamp("2024-01-01", tz="UTC")
+        for b in batches:
+            if not len(b):
+                continue
+            recs = [
+                (
+                    f"http://d/{int(i)}",
+                    base + pd.Timedelta(seconds=int(i)),
+                    wrap_html_one(f"http://d/{int(i)}", t, []),
+                )
+                for i, t in zip(b["doc_id"], b["text"])
+            ]
+            parsed, skipped = parse_warc_bytes(warc_bytes_of(recs))
+            assert skipped == 0 and len(parsed) == len(recs)
+            yield pd.DataFrame(
+                {
+                    "doc_id": [
+                        int(r["url"].rsplit("/", 1)[1]) for r in parsed
+                    ],
+                    "wet_url": [r["url"] for r in parsed],
+                    "wet_text": [extract_text_one(r["html"]) for r in parsed],
+                }
+            )
+
+    w = d.mapInPandas(
+        wet, schema="doc_id long, wet_url string, wet_text string"
+    )
+    return w.select(
+        "doc_id",
+        "wet_url",
+        textstats.token_count_ws(F.col("wet_text")).cast("long").alias("n_words"),
+        F.length("wet_text").cast("long").alias("n_chars"),
+        F.md5("wet_text").alias("text_md5"),
+    )
+
+
+@q(
+    "robots_audit",
+    # robots.txt compliance audit (r5): bodies are synthesized per host
+    # (deterministic in h = doc_id % 11), the ENGINE parses them with the
+    # real pandas-UDF parser (functions/robots.py) and prefix-matches;
+    # the oracle states the same rules arithmetically — parse vs ground
+    # truth. h % 5 == 0 hosts carry an agent-specific 'crawld' record
+    # (Disallow: /) that must WIN over '*' for agent crawld-spark/1.0;
+    # h % 3 picks the prefix rules; '/admin' never matches anything.
+    """
+    WITH u AS (
+      SELECT doc_id, doc_id % 11 AS h, '/p/' || doc_id AS path
+      FROM documents
+    )
+    SELECT doc_id,
+           'site' || h || '.example.com' AS host,
+           CASE WHEN h % 5 = 0 THEN true
+                WHEN h % 3 = 0 THEN path LIKE '/p/1%'
+                WHEN h % 3 = 1 THEN path LIKE '/p/7%'
+                ELSE false END AS denied,
+           CASE WHEN h % 5 <> 0 AND h % 3 = 1 THEN 2.0 ELSE -1.0 END
+             AS crawl_delay_s
+    FROM u
+    """,
+)
+def robots_audit(spark, sf_dir):
+    """Fleet-wide robots.txt compliance audit: which frontier URLs would
+    the current robots rules deny, and at what crawl delay — the batch
+    form of the per-round politeness gate (north rule: "politeness,
+    robots"). Scale shape: robots bodies are HOST-cardinality (10^8 rows
+    against 10^10 URLs), parsed ONCE per host by the Arrow-batched pandas
+    UDF (functions/robots.robots_table), and the parsed rules broadcast
+    into the URL scan — the per-URL work is a codegen `exists` prefix
+    probe over a small array, no shuffle of the URL table at all."""
+    from crawld_spark.functions.robots import robots_table
+
+    def body_of(h: int) -> str:
+        lines = ["User-agent: *", "Disallow: /admin"]
+        if h % 3 == 0:
+            lines.append("Disallow: /p/1")
+        if h % 3 == 1:
+            lines.extend(["Disallow: /p/7", "Crawl-delay: 2"])
+        if h % 5 == 0:
+            lines.extend(["", "User-agent: crawld", "Disallow: /"])
+        return "\n".join(lines)
+
+    rb = spark.createDataFrame(
+        [(f"site{h}.example.com", body_of(h)) for h in range(11)],
+        "host string, body string",
+    )
+    rules = robots_table(rb, agent="crawld-spark/1.0")
+    u = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 11).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        F.concat(F.lit("/p/"), F.col("doc_id").cast("string")).alias("path"),
+    )
+    j = u.join(F.broadcast(rules), "host", "left")
+    return j.select(
+        "doc_id",
+        "host",
+        F.coalesce(
+            F.exists(
+                "disallow_prefixes", lambda p: F.col("path").startswith(p)
+            ),
+            F.lit(False),
+        ).alias("denied"),
+        F.coalesce(F.col("crawl_delay_s"), F.lit(-1.0)).alias("crawl_delay_s"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-row rotation (VERDICT r4 item 1): the driver's correctness gate
 # caps at the FIRST 50 lanes in queries() iteration order.  All 75 lanes

@@ -158,3 +158,43 @@ class TestBoilerplateStrip:
         d = spark.createDataFrame(rows, "doc_id long, host string, text string")
         got = boilerplate_strip(d).collect()
         assert all(r.n_boiler == 1 and r.clean_md5 == self._md5("") for r in got)
+
+
+class TestMirrorHosts:
+    def _pairs(self, spark, rows, **kw):
+        d = spark.createDataFrame(rows, "host string, text string")
+        return {
+            (r.host_a, r.host_b): r.shared_digests
+            for r in corpus.mirror_hosts(d, **kw).collect()
+        }
+
+    ROWS = [
+        # a/b share two texts, a/b/c share one -> pairs (a,b)=2 (a,c)=1 (b,c)=1
+        ("a", "m1"), ("b", "m1"), ("c", "m1"),
+        ("a", "m2"), ("b", "m2"),
+        ("d", "solo"),
+        # viral text on 6 hosts: excluded by max_hosts_per_digest=4
+        ("v0", "viral"), ("v1", "viral"), ("v2", "viral"),
+        ("v3", "viral"), ("v4", "viral"), ("v5", "viral"),
+    ]
+
+    def test_planted_pairs_and_fanout_cap(self, spark):
+        got = self._pairs(spark, self.ROWS, max_hosts_per_digest=4)
+        assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+    def test_min_shared_threshold(self, spark):
+        got = self._pairs(spark, self.ROWS, min_shared=2, max_hosts_per_digest=4)
+        assert got == {("a", "b"): 2}
+
+    def test_within_host_duplicates_collapse(self, spark):
+        # the same page crawled twice on one host is ONE (host, digest) row
+        got = self._pairs(
+            spark, self.ROWS + [("a", "m1"), ("a", "m1")],
+            max_hosts_per_digest=4,
+        )
+        assert got[("a", "b")] == 2 and got[("a", "c")] == 1
+
+    def test_uncapped_keeps_viral_digest(self, spark):
+        got = self._pairs(spark, self.ROWS, max_hosts_per_digest=100)
+        # 6 viral hosts -> C(6,2) = 15 extra pairs
+        assert sum(1 for (x, _y) in got if x.startswith("v")) == 15

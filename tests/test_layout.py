@@ -53,3 +53,71 @@ class TestZorderKey:
         full = (1 << (2 * bits)) - 1
         # 16 range partitions over the key space: each spans ~1/16th
         assert all(r.zspan < full / 4 for r in spans if r.zspan is not None)
+
+
+class TestCdxPrefixScan:
+    """The scale claim behind queries.cdx_prefix_scan: over a CDX store
+    sorted/range-partitioned by SURT key, the domain range [lo, hi) is a
+    pushed-down parquet filter (zone-map-prunable), not a post-scan one."""
+
+    LO, HI = "com,example,host3,", "com,example,host3-"
+
+    def _cdx(self, spark):
+        from crawld_spark.functions.url import surt_key
+
+        return spark.range(0, 700).select(
+            F.col("id").alias("doc_id"),
+            surt_key(
+                F.concat(
+                    F.lit("https://sub"), (F.col("id") % 5).cast("string"),
+                    F.lit(".host"), (F.col("id") % 7).cast("string"),
+                    F.lit(".example.com/p/"), F.col("id").cast("string"),
+                )
+            ).alias("surt"),
+        )
+
+    def test_range_filter_is_pushed_to_parquet(self, spark, tmp_path):
+        path = str(tmp_path / "cdx")
+        (
+            self._cdx(spark)
+            .repartitionByRange(8, "surt")
+            .sortWithinPartitions("surt")
+            .write.parquet(path)
+        )
+        scan = spark.read.parquet(path).where(
+            (F.col("surt") >= self.LO) & (F.col("surt") < self.HI)
+        )
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        assert "GreaterThanOrEqual(surt,com,example,host3," in plan
+        assert "LessThan(surt,com,example,host3-" in plan
+        # exactly the host3 captures (id % 7 == 3), every subdomain included
+        assert scan.count() == 100
+        subs = {
+            r.surt.split(",sub", 1)[1][0] for r in scan.collect()
+        }
+        assert subs == {"0", "1", "2", "3", "4"}
+
+    def test_sorted_layout_isolates_domain_to_few_files(self, spark, tmp_path):
+        # range-partitioned sort puts one domain's contiguous key range in
+        # a small file subset — the partition-pruning property at 10^10 rows
+        path = str(tmp_path / "cdx_sorted")
+        (
+            self._cdx(spark)
+            .repartitionByRange(8, "surt")
+            .sortWithinPartitions("surt")
+            .write.parquet(path)
+        )
+        hit = (
+            spark.read.parquet(path)
+            .where((F.col("surt") >= self.LO) & (F.col("surt") < self.HI))
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+        total = (
+            spark.read.parquet(path)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+        assert hit <= max(2, total // 3), (hit, total)
