@@ -146,3 +146,86 @@ def pagerank(
         if checkpoint:
             rank = rank.localCheckpoint(eager=True)
     return rank.join(base, "node").select("node", "rank_q", "out_deg")
+
+
+def hits(
+    edges: DataFrame,  # src, dst (node ids; parallel edges count twice)
+    n_iter: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: bool = True,  # False = keep full lineage (plan tests only)
+    key_type: str = "long",  # node-key cast; "string" for URL-keyed graphs
+) -> DataFrame:
+    """Fixed-iteration integer HITS (Kleinberg hubs & authorities).
+    Returns ``(node, hub_q, auth_q)`` for every node appearing as source
+    or destination, both scores int64 in [0, SCALE].
+
+    The frontier analog of crawld's fork/stars cascade
+    (/root/reference/crawlers/github.go:72-80): a good *hub* is a page
+    that links many good authorities (a seed list, a directory page), a
+    good *authority* is a page linked by many good hubs — exactly the two
+    roles a crawl scheduler wants separated (fetch authorities for
+    content, refetch hubs for discovery). PageRank (above) collapses the
+    two into one score; HITS keeps them apart.
+
+    Integer discipline: classic HITS renormalizes by the L2 norm —
+    floating point, not replayable across engines. Here each half-step
+    rescales by **max-bounded floor division**: after the sum,
+    ``q = raw div (rmax div SCALE + 1)`` with ``rmax = max(raw)``, which
+    (a) keeps every score in [0, SCALE] so the next sum cannot overflow
+    int64 below ~9e12 nodes, (b) never forms a product wider than int64,
+    and (c) is order-independent, so the DuckDB twin (unrolled CTEs, `//`)
+    matches bit-for-bit. Relative order within an iteration is identical
+    to the L2-normalized ranks; only the scale differs.
+
+    Scale (10^10-edge web graph): each half-step is one equi-join of the
+    score frame onto edges + one groupBy sum — both map-side-combinable,
+    shuffling only (long, long) pairs. The per-step ``rmax`` is a scalar
+    aggregate broadcast back in (never a driver round-trip inside the
+    plan). Hot targets (everyone links the homepage) collapse in the
+    partial agg. Score frames are localCheckpoint-ed per iteration so
+    lineage stays bounded (the pagerank/connected_components discipline).
+    """
+    e = edges.select(
+        F.col(src_col).cast(key_type).alias("src"),
+        F.col(dst_col).cast(key_type).alias("dst"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=True)
+    hub = nodes.select("node", F.lit(SCALE).cast("long").alias("hub_q"))
+    auth = nodes.select("node", F.lit(0).cast("long").alias("auth_q"))
+
+    def _half(score: DataFrame, score_col: str, join_end: str,
+              group_end: str, out_col: str) -> DataFrame:
+        # score flows across edges from `join_end` to `group_end`,
+        # then rescales into [0, SCALE] by max-bounded floor division.
+        raw = (
+            score.join(e, score.node == e[join_end])
+            .groupBy(group_end)
+            .agg(F.sum(score_col).alias("raw"))
+        )
+        rmax = raw.agg(F.coalesce(F.max("raw"), F.lit(0)).alias("rmax"))
+        return (
+            nodes.join(raw, nodes.node == raw[group_end], "left")
+            .crossJoin(F.broadcast(rmax))
+            .select(
+                "node",
+                F.expr(
+                    f"coalesce(raw, 0L) div (rmax div {SCALE} + 1L)"
+                ).cast("long").alias(out_col),
+            )
+        )
+
+    for _ in range(max(1, n_iter)):
+        auth = _half(hub, "hub_q", "src", "dst", "auth_q")
+        if checkpoint:
+            auth = auth.localCheckpoint(eager=True)
+        hub = _half(auth, "auth_q", "dst", "src", "hub_q")
+        if checkpoint:
+            hub = hub.localCheckpoint(eager=True)
+    return hub.join(auth, "node").select("node", "hub_q", "auth_q")

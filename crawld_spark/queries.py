@@ -3663,6 +3663,90 @@ def robots_audit(spark, sf_dir):
     )
 
 
+def _hits_ctes(n_iter: int) -> list[str]:
+    ctes = [
+        """e AS (
+      SELECT doc_id AS src,
+             unnest([(doc_id * 7 + 1) % n, (doc_id * 13 + 3) % n,
+                     CAST(0 AS BIGINT)]) AS dst
+      FROM documents, (SELECT count(*) AS n FROM documents))""",
+        """nodes AS (SELECT DISTINCT node FROM
+      (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""",
+        "h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub_q FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""ar{i} AS (
+      SELECT dst, sum(hub_q) AS raw
+      FROM h{i - 1} JOIN e ON node = e.src GROUP BY dst)"""
+        )
+        ctes.append(
+            f"am{i} AS (SELECT coalesce(max(raw), 0) AS rmax FROM ar{i})"
+        )
+        ctes.append(
+            f"""a{i} AS (
+      SELECT node, CAST(coalesce(raw, 0) // (rmax // 1000000 + 1) AS BIGINT)
+               AS auth_q
+      FROM nodes LEFT JOIN ar{i} ON node = dst CROSS JOIN am{i})"""
+        )
+        ctes.append(
+            f"""hr{i} AS (
+      SELECT src, sum(auth_q) AS raw
+      FROM a{i} JOIN e ON node = e.dst GROUP BY src)"""
+        )
+        ctes.append(
+            f"hm{i} AS (SELECT coalesce(max(raw), 0) AS rmax FROM hr{i})"
+        )
+        ctes.append(
+            f"""h{i} AS (
+      SELECT node, CAST(coalesce(raw, 0) // (rmax // 1000000 + 1) AS BIGINT)
+               AS hub_q
+      FROM nodes LEFT JOIN hr{i} ON node = src CROSS JOIN hm{i})"""
+        )
+    return ctes
+
+
+_HITS_ITER = 3
+
+
+def _hits_sql(n_iter: int = _HITS_ITER) -> str:
+    return (
+        "WITH "
+        + ",\n    ".join(_hits_ctes(n_iter))
+        + f"""
+    SELECT node, hub_q, auth_q FROM h{n_iter} JOIN a{n_iter} USING (node)"""
+    )
+
+
+@q("link_hits", _hits_sql())
+def link_hits(spark, sf_dir):
+    """Integer-exact HITS hubs/authorities over the same deterministic
+    link graph as the pagerank lane (operators/graph.hits): max-bounded
+    floor-division rescale instead of the float L2 norm, fixed
+    iterations, int64 throughout — the DuckDB twin unrolls both
+    half-steps per iteration and must match bit-for-bit.  Node 0 is the
+    hot authority (every doc links it); the seed docs that link it plus
+    high-fanout neighbors become the hubs.  Crawl use: fetch authorities
+    for content, refetch hubs for discovery (two separate refresh
+    cadences), vs pagerank's single collapsed score."""
+    from crawld_spark.operators import graph
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                (F.col("doc_id") * 7 + 1) % n,
+                (F.col("doc_id") * 13 + 3) % n,
+                F.lit(0).cast("long"),
+            )
+        ).alias("dst"),
+    )
+    return graph.hits(edges, n_iter=_HITS_ITER)
+
+
+
 # ---------------------------------------------------------------------
 # Driver-row rotation (VERDICT r4 item 1): the driver's correctness gate
 # caps at the FIRST 50 lanes in queries() iteration order.  All 75 lanes

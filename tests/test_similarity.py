@@ -1710,6 +1710,90 @@ class TestPagerank:
         assert "partial_sum" in plan or "partial" in plan.lower(), plan
 
 
+class TestHits:
+    """operators/graph.hits: integer-exact HITS hubs/authorities
+    (oracled via the link_hits lane's unrolled DuckDB twin; these pin a
+    pure-Python replay, the hub/authority role split, and the shuffle
+    discipline)."""
+
+    SCALE = 1_000_000
+
+    @classmethod
+    def _ref(cls, edges, n_iter):
+        nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+        hub = {v: cls.SCALE for v in nodes}
+        auth = {v: 0 for v in nodes}
+
+        def half(score, fwd):
+            raw = {v: 0 for v in nodes}
+            for s, d in edges:
+                if fwd:
+                    raw[d] += score[s]
+                else:
+                    raw[s] += score[d]
+            rmax = max(raw.values(), default=0)
+            div = rmax // cls.SCALE + 1
+            return {v: raw[v] // div for v in nodes}
+
+        for _ in range(n_iter):
+            auth = half(hub, True)
+            hub = half(auth, False)
+        return hub, auth
+
+    def _run(self, spark, edges, n_iter=3):
+        from crawld_spark.operators.graph import hits
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r.node: (r.hub_q, r.auth_q)
+            for r in hits(df, n_iter=n_iter).collect()
+        }
+
+    def test_matches_python_replay(self, spark):
+        import random
+
+        rng = random.Random(11)
+        edges = [(rng.randint(0, 19), rng.randint(0, 19)) for _ in range(60)]
+        want_hub, want_auth = self._ref(edges, 3)
+        got = self._run(spark, edges, 3)
+        assert got == {v: (want_hub[v], want_auth[v]) for v in want_hub}
+
+    def test_roles_split(self, spark):
+        # bipartite: 1..3 all link 10 and 11; 10/11 link nothing.
+        # sources are pure hubs, targets pure authorities.
+        edges = [(i, t) for i in range(1, 4) for t in (10, 11)]
+        got = self._run(spark, edges, 3)
+        for i in range(1, 4):
+            assert got[i][0] > 0 and got[i][1] == 0      # hub, not authority
+        for t in (10, 11):
+            assert got[t][1] > 0 and got[t][0] == 0      # authority, not hub
+        # symmetric graph: equal scores within each side
+        assert got[1] == got[2] == got[3]
+        assert got[10] == got[11]
+
+    def test_scores_bounded_by_scale(self, spark):
+        # heavy fan-in would overflow without the max-bounded rescale
+        edges = [(i, 0) for i in range(1, 40)]
+        got = self._run(spark, edges, 4)
+        assert all(
+            0 <= h <= self.SCALE and 0 <= a <= self.SCALE
+            for h, a in got.values()
+        )
+        assert got[0][1] > 0 and got[0][0] == 0
+
+    def test_no_window_no_driver_scalar(self, spark):
+        from crawld_spark.operators.graph import hits
+
+        df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        plan = (
+            hits(df, n_iter=1, checkpoint=False)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan, plan
+        # the per-step rmax scalar enters as a broadcast, not a collect
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
 class TestChangeRate:
     """operators/freshness.change_rate (oracled via the recrawl_priority
     lane; these pin the estimator arithmetic and the ordering semantics)."""
