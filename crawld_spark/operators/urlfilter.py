@@ -86,3 +86,74 @@ def blocklist_filter(
     pass itself)."""
     marked = blocklist_mark(docs, blocklist, host_col, entry_col, max_labels)
     return marked.where(~F.col("blocked")).drop("blocked")
+
+
+def url_template(path: Column) -> Column:
+    """Collapse a URL path to its structural template: hex runs of 8+
+    chars become ``~H`` (session ids, UUIDs, content hashes), then any
+    remaining digit run becomes ``~D`` (ids, dates, page numbers).
+    Pure JVM regexp — codegen, no shuffle, no Python."""
+    t = F.regexp_replace(path, "[0-9a-fA-F]{8,}", "~H")
+    return F.regexp_replace(t, "[0-9]+", "~D")
+
+
+def trap_stats(
+    urls: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+    min_urls: int = 50,
+    min_compression: int = 10,
+) -> DataFrame:
+    """Per-host crawl-trap statistics:
+    ``(host, n_urls, n_templates, max_template_urls, compression_q,
+    is_trap)``.
+
+    Crawl traps — calendars, faceted search, session-id links — generate
+    unbounded URL sets from a handful of path *templates*; a polite
+    crawler must detect and throttle them or a single host eats the
+    frontier (crawld's analog is its per-crawler fetch budget,
+    /root/reference/config/config.go throttler + limit fields, which
+    bounds the damage but cannot name the offender). The detector:
+    collapse every path to its template (:func:`url_template`), then per
+    host compare URL cardinality to template cardinality.
+    ``compression_q = n_urls div n_templates`` (integer-exact);
+    ``is_trap`` = at least ``min_urls`` URLs AND compression at least
+    ``min_compression`` — a host where thousands of URLs reduce to a few
+    shapes is generating them mechanically.
+
+    Scale shape (10^10 URLs): the template projection is codegen; the
+    first aggregation ``groupBy(host, template)`` partial-aggregates on
+    the scan side, so the shuffle carries template-cardinality rows (tiny
+    short strings + counts), never raw URLs; the second ``groupBy(host)``
+    is host-cardinality. No window, no Python, two map-side-combinable
+    shuffles of shrinking size.
+    """
+    per_t = (
+        urls.select(
+            F.col(host_col).alias("host"),
+            url_template(F.col(path_col)).alias("templ"),
+        )
+        .groupBy("host", "templ")
+        .agg(F.count("*").cast("long").alias("n_urls_t"))
+    )
+    return (
+        per_t.groupBy("host")
+        .agg(
+            F.sum("n_urls_t").cast("long").alias("n_urls"),
+            F.count("*").cast("long").alias("n_templates"),
+            F.max("n_urls_t").cast("long").alias("max_template_urls"),
+        )
+        .select(
+            "host",
+            "n_urls",
+            "n_templates",
+            "max_template_urls",
+            F.expr("n_urls div n_templates").cast("long").alias(
+                "compression_q"
+            ),
+            (
+                (F.col("n_urls") >= F.lit(min_urls))
+                & F.expr(f"n_urls div n_templates >= {min_compression}")
+            ).alias("is_trap"),
+        )
+    )

@@ -3747,6 +3747,124 @@ def link_hits(spark, sf_dir):
 
 
 
+@q(
+    "trap_stats",
+    """
+    WITH u AS (
+      SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
+        CASE WHEN doc_id % 10 < 2
+          THEN '/cal/' || CAST(doc_id AS VARCHAR) || '/'
+               || CAST(doc_id * 31 AS VARCHAR)
+          ELSE '/a/' || translate(substr(md5(CAST(doc_id AS VARCHAR)), 1, 10),
+                                  '0123456789', 'ghijklmnop')
+        END AS path
+      FROM documents
+    ), t AS (
+      SELECT host,
+        regexp_replace(regexp_replace(path, '[0-9a-fA-F]{8,}', '~H', 'g'),
+                       '[0-9]+', '~D', 'g') AS templ
+      FROM u
+    ), pt AS (
+      SELECT host, templ, CAST(count(*) AS BIGINT) AS n_urls_t
+      FROM t GROUP BY host, templ
+    )
+    SELECT host,
+      CAST(sum(n_urls_t) AS BIGINT) AS n_urls,
+      CAST(count(*) AS BIGINT) AS n_templates,
+      CAST(max(n_urls_t) AS BIGINT) AS max_template_urls,
+      CAST(sum(n_urls_t) // count(*) AS BIGINT) AS compression_q,
+      (sum(n_urls_t) >= 50 AND sum(n_urls_t) // count(*) >= 10) AS is_trap
+    FROM pt GROUP BY host
+    """,
+)
+def trap_stats(spark, sf_dir):
+    """Crawl-trap detection (operators/urlfilter.trap_stats): collapse
+    paths to structural templates, flag hosts whose URL count vastly
+    exceeds their template count.  Two synthetic host families: hosts
+    h0/h1 are calendar-style traps (every URL a fresh digit pair under
+    one template), the rest serve letters-only unique paths (template ==
+    path, compression 1).  Scale: the (host, template) partial agg
+    collapses the URL scan before any shuffle; see module docstring."""
+    from crawld_spark.operators.urlfilter import trap_stats as _ts
+
+    u = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string")).alias(
+            "host"
+        ),
+        F.when(
+            F.col("doc_id") % 10 < 2,
+            F.concat(
+                F.lit("/cal/"),
+                F.col("doc_id").cast("string"),
+                F.lit("/"),
+                (F.col("doc_id") * 31).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/a/"),
+                F.translate(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10),
+                    "0123456789",
+                    "ghijklmnop",
+                ),
+            )
+        )
+        .alias("path"),
+    )
+    return _ts(u, min_urls=50, min_compression=10)
+
+
+@q(
+    "budget_allocate",
+    """
+    WITH h AS (
+      SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS host,
+             CAST(sum(n_chars) AS BIGINT) AS mass
+      FROM documents GROUP BY 1
+    ), t AS (SELECT sum(mass) AS tm FROM h),
+    b AS (
+      SELECT host, mass,
+        CAST(CASE WHEN tm > 0 THEN (1000 * mass) // tm ELSE 0 END
+             AS BIGINT) AS base_q,
+        CAST(CASE WHEN tm > 0 THEN (1000 * mass) % tm ELSE 0 END
+             AS BIGINT) AS rem_q
+      FROM h CROSS JOIN t
+    ), l AS (
+      SELECT 1000 - sum(base_q) AS lv, sum(mass) AS tm2 FROM b
+    ), r AS (
+      SELECT *, row_number() OVER (ORDER BY rem_q DESC, host ASC) AS rk
+      FROM b
+    )
+    SELECT host, mass, base_q, rem_q,
+      CAST(base_q + CASE WHEN tm2 > 0 AND rk <= lv THEN 1 ELSE 0 END
+           AS BIGINT) AS alloc
+    FROM r CROSS JOIN l
+    """,
+)
+def budget_allocate(spark, sf_dir):
+    """Largest-remainder fetch-budget apportionment
+    (operators/budget.allocate_budget): split a 1000-slot round budget
+    across 23 synthetic hosts proportionally to their total content mass,
+    integer-exact, sum(alloc) == budget guaranteed.  The oracle's
+    row_number window is the scale trap the engine avoids — the Spark
+    side ranks remainders with the two-phase range-partitioned
+    plans.rank.global_rank, no single-partition exchange."""
+    from crawld_spark.operators.budget import allocate_budget
+
+    h = (
+        _t(spark, sf_dir, "documents")
+        .groupBy(
+            F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string")).alias(
+                "host"
+            )
+        )
+        .agg(F.sum("n_chars").cast("long").alias("mass"))
+    )
+    return allocate_budget(h, budget=1000)
+
+
+
 # ---------------------------------------------------------------------
 # Driver-row rotation (VERDICT r4 item 1): the driver's correctness gate
 # caps at the FIRST 50 lanes in queries() iteration order.  All 75 lanes

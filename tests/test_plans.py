@@ -321,3 +321,121 @@ class TestWebtextPlanShapes:
         assert "Window" not in plan, plan
         # counts and the per-doc sum must combine map-side
         assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+@pytest.mark.usefixtures("spark")
+class TestTrapAndBudget:
+    """r5 crawl-scheduler lanes: trap detection must collapse before any
+    shuffle, budget apportionment must be exact and window-free."""
+
+    def test_url_template_collapse(self, spark):
+        from crawld_spark.operators.urlfilter import url_template
+
+        rows = spark.createDataFrame(
+            [("/cal/2024/05/17",), ("/item?id=99",),
+             ("/s/deadbeef01234567/x",), ("/plain/path",)],
+            "path string",
+        ).select(url_template(F.col("path")).alias("t")).collect()
+        assert [r.t for r in rows] == [
+            "/cal/~D/~D/~D", "/item?id=~D", "/s/~H/x", "/plain/path",
+        ]
+
+    def test_trap_stats_semantics(self, spark):
+        from crawld_spark.operators.urlfilter import trap_stats
+
+        # trap host: 60 urls, one '/d/~D' template; clean host: 60 urls,
+        # 60 letter-only templates
+        urls = spark.range(60).select(
+            F.lit("trap.com").alias("host"),
+            F.concat(F.lit("/d/"), F.col("id").cast("string")).alias("path"),
+        ).unionAll(spark.range(60).select(
+            F.lit("ok.com").alias("host"),
+            F.concat(
+                F.lit("/p/"),
+                F.translate(
+                    F.substring(F.md5(F.col("id").cast("string")), 1, 8),
+                    "0123456789", "ghijklmnop",
+                ),
+            ).alias("path"),
+        ))
+        got = {r.host: r for r in
+               trap_stats(urls, min_urls=50, min_compression=10).collect()}
+        t, ok = got["trap.com"], got["ok.com"]
+        assert (t.n_urls, t.n_templates, t.is_trap) == (60, 1, True)
+        assert t.compression_q == 60 and t.max_template_urls == 60
+        assert ok.n_urls == 60 and ok.is_trap is False
+        assert ok.compression_q == 1
+
+    def test_trap_plan_two_partial_aggs_no_python(self, spark):
+        from crawld_spark.operators.urlfilter import trap_stats
+
+        urls = spark.range(100).select(
+            F.lit("h").alias("host"), F.col("id").cast("string").alias("path")
+        )
+        plan = _plan(trap_stats(urls))
+        assert "Window" not in plan, plan
+        for marker in ("BatchEvalPython", "ArrowEvalPython"):
+            assert marker not in plan, plan
+        assert "partial" in plan.lower(), plan
+
+    def test_budget_exact_and_proportional(self, spark):
+        from crawld_spark.operators.budget import allocate_budget
+
+        hosts = spark.createDataFrame(
+            [("a", 5), ("b", 3), ("c", 2), ("d", 0)], "host string, mass long"
+        )
+        got = {r.host: r.alloc for r in
+               allocate_budget(hosts, budget=100).collect()}
+        assert got == {"a": 50, "b": 30, "c": 20, "d": 0}
+
+    def test_budget_largest_remainder_ties(self, spark):
+        from crawld_spark.operators.budget import allocate_budget
+
+        # B=10, masses 1/1/1: base 3+3+3, leftover 1 goes to the smallest
+        # host key (remainders all equal)
+        hosts = spark.createDataFrame(
+            [("x", 1), ("y", 1), ("z", 1)], "host string, mass long"
+        )
+        got = {r.host: r.alloc for r in
+               allocate_budget(hosts, budget=10).collect()}
+        assert got == {"x": 4, "y": 3, "z": 3}
+        assert sum(got.values()) == 10
+
+    def test_budget_zero_mass_total(self, spark):
+        from crawld_spark.operators.budget import allocate_budget
+
+        hosts = spark.createDataFrame(
+            [("x", 0), ("y", 0)], "host string, mass long"
+        )
+        got = {r.host: r.alloc for r in
+               allocate_budget(hosts, budget=10).collect()}
+        assert got == {"x": 0, "y": 0}
+
+    def test_budget_sum_invariant_random(self, spark):
+        import random
+
+        from crawld_spark.operators.budget import allocate_budget
+
+        rng = random.Random(5)
+        rows = [(f"h{i}", rng.randint(0, 1000)) for i in range(40)]
+        hosts = spark.createDataFrame(rows, "host string, mass long")
+        for b in (0, 1, 7, 999):
+            got = allocate_budget(hosts, budget=b).agg(
+                F.sum("alloc")).collect()[0][0]
+            assert got == (b if sum(m for _, m in rows) > 0 else 0), b
+
+    def test_budget_plan_no_global_window(self, spark):
+        from crawld_spark.operators.budget import allocate_budget
+
+        hosts = spark.createDataFrame(
+            [("a", 5), ("b", 3)], "host string, mass long"
+        )
+        plan = _plan(allocate_budget(hosts, budget=100))
+        # remainder ranking must ride the two-phase global_rank: the rank
+        # column is assembled from the range-partition id + driver offset
+        # map (_pid/_mid projection), and no window in the plan is a bare
+        # global ORDER BY (any Window line must carry the _pid key)
+        assert "_pid" in plan and "_mid" in plan, plan
+        for ln in plan.splitlines():
+            if "Window [" in ln:
+                assert "_pid" in ln, ln
