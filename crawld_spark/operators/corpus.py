@@ -155,3 +155,109 @@ def mirror_hosts(
         .agg(F.count("*").cast("long").alias("shared_digests"))
         .where(F.col("shared_digests") >= F.lit(min_shared))
     )
+
+
+# --- deterministic HyperLogLog distinct sketch --------------------------
+#
+# Spark's approx_count_distinct and DuckDB's approx_count_distinct use
+# different HLL implementations (different hash, different corrections),
+# so they can never hash-match across engines.  This form is built from
+# first principles to be INTEGER-EXACT and engine-independent: the hash
+# is md5 (identical everywhere), register updates are max() (order
+# independent), and the estimator is evaluated entirely in int64 floor
+# arithmetic — the DuckDB twin replays it bit-for-bit.  It is the "novel
+# sketch as composition of existing ops" pattern: per-key distinct-URL
+# estimation whose state is m small integers per key instead of a
+# distinct-set shuffle.
+
+HLL_P = 4                      # 2^4 = 16 registers per key
+HLL_M = 1 << HLL_P
+HLL_RANK_CAP = 40              # ranks beyond 40 are astronomically rare
+_HLL_R = 48                    # Z is scaled by 2^48 (see estimator note)
+# alpha_16 = 0.673 (Flajolet et al. 2007), as the exact rational 673/1000
+_HLL_ALPHA_NUM, _HLL_ALPHA_DEN = 673, 1000
+
+
+def _hll_rank(w):
+    """Rank (leading-zero count + 1) of the 56-bit suffix ``w``, capped at
+    HLL_RANK_CAP — built as an explicit comparison chain because neither
+    engine has an integer clz; the DuckDB twin generates the same chain."""
+    expr = F.lit(HLL_RANK_CAP)
+    for r in range(HLL_RANK_CAP - 1, 0, -1):
+        expr = F.when(w >= F.lit(1 << (56 - r)), F.lit(r)).otherwise(expr)
+    return expr
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str = "host",
+    val_col: str = "url",
+) -> DataFrame:
+    """Per-key approximate-distinct sketch:
+    ``(key, n_buckets_hit, z_scaled, est_q)`` where ``est_q`` is the raw
+    HLL estimate of ``count_distinct(val_col)`` per key, int64.
+
+    Estimator, all-integer: with register maxima M_j (0 for empty
+    registers), ``Z_scaled = Σ_j 2^(48 − M_j)`` (empty registers add
+    2^48; M_j ≤ 40 keeps every term ≥ 2^8 and the sum ≤ 2^52), then
+    ``est_q = ((m² · 2^48) div Z_scaled) · 673 div 1000`` — the raw
+    HyperLogLog α_m·m²/Z with α_16 = 0.673 as an exact rational and both
+    divisions floor.  No float enters at any point, so partitioning,
+    shuffle order, and engine cannot change a single bit.  Raw HLL (no
+    small/large-range correction) is accurate for n ≳ 2.5·m = 40
+    distinct values per key; below that it reads high — callers counting
+    tiny keys should count exactly (they can afford to).
+
+    Scale shape (10^10 URLs / 10^8 hosts): ONE aggregation tree —
+    ``groupBy(key, bucket).max(rank)`` partial-aggregates on the scan
+    side (each task emits ≤ m rows per key regardless of row count),
+    then ``groupBy(key)`` folds the ≤ m register rows into the estimate.
+    The shuffle carries (key, 2 small ints): a distinct-count whose
+    network cost is independent of the number of URLs, vs
+    count_distinct's (key, full value) shuffle.
+    """
+    v = F.conv(F.substring(F.md5(F.col(val_col)), 1, 15), 16, 10).cast(
+        "long"
+    )
+    regs = (
+        df.select(
+            F.col(key_col).alias("key"),
+            (v % HLL_M).cast("int").alias("bucket"),
+            # exact floor division — `/` would round-trip through double
+            # and corrupt bits above 2^53
+            v.alias("_v"),
+        )
+        .select(
+            "key", "bucket", F.expr(f"_v div {HLL_M}").alias("w")
+        )
+        .select("key", "bucket", _hll_rank(F.col("w")).alias("rank"))
+        .groupBy("key", "bucket")
+        .agg(F.max("rank").alias("m_j"))
+    )
+    return (
+        regs.groupBy("key")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets_hit"),
+            F.sum(F.expr(f"shiftleft(1L, {_HLL_R} - m_j)"))
+            .cast("long")
+            .alias("_z_hit"),
+        )
+        .select(
+            "key",
+            "n_buckets_hit",
+            (
+                F.col("_z_hit")
+                + (F.lit(HLL_M) - F.col("n_buckets_hit"))
+                * F.lit(1 << _HLL_R)
+            ).cast("long").alias("z_scaled"),
+        )
+        .select(
+            "key",
+            "n_buckets_hit",
+            "z_scaled",
+            F.expr(
+                f"(({HLL_M * HLL_M} * {1 << _HLL_R}L) div z_scaled)"
+                f" * {_HLL_ALPHA_NUM} div {_HLL_ALPHA_DEN}"
+            ).cast("long").alias("est_q"),
+        )
+    )

@@ -3865,6 +3865,71 @@ def budget_allocate(spark, sf_dir):
 
 
 
+@q(
+    "hll_host_distinct",
+    """
+    WITH u AS (
+      SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS key,
+             '/u/' || CAST(doc_id % 137 AS VARCHAR) AS url
+      FROM documents
+    ), h AS (
+      SELECT key, url,
+             CAST(('0x' || substring(md5(url), 1, 15)) AS BIGINT) AS v
+      FROM u
+    ), r AS (
+      SELECT key, CAST(v % 16 AS INT) AS bucket,
+             CASE WHEN (v // 16) >= (1::BIGINT << 55) THEN 1 WHEN (v // 16) >= (1::BIGINT << 54) THEN 2 WHEN (v // 16) >= (1::BIGINT << 53) THEN 3 WHEN (v // 16) >= (1::BIGINT << 52) THEN 4 WHEN (v // 16) >= (1::BIGINT << 51) THEN 5 WHEN (v // 16) >= (1::BIGINT << 50) THEN 6 WHEN (v // 16) >= (1::BIGINT << 49) THEN 7 WHEN (v // 16) >= (1::BIGINT << 48) THEN 8 WHEN (v // 16) >= (1::BIGINT << 47) THEN 9 WHEN (v // 16) >= (1::BIGINT << 46) THEN 10 WHEN (v // 16) >= (1::BIGINT << 45) THEN 11 WHEN (v // 16) >= (1::BIGINT << 44) THEN 12 WHEN (v // 16) >= (1::BIGINT << 43) THEN 13 WHEN (v // 16) >= (1::BIGINT << 42) THEN 14 WHEN (v // 16) >= (1::BIGINT << 41) THEN 15 WHEN (v // 16) >= (1::BIGINT << 40) THEN 16 WHEN (v // 16) >= (1::BIGINT << 39) THEN 17 WHEN (v // 16) >= (1::BIGINT << 38) THEN 18 WHEN (v // 16) >= (1::BIGINT << 37) THEN 19 WHEN (v // 16) >= (1::BIGINT << 36) THEN 20 WHEN (v // 16) >= (1::BIGINT << 35) THEN 21 WHEN (v // 16) >= (1::BIGINT << 34) THEN 22 WHEN (v // 16) >= (1::BIGINT << 33) THEN 23 WHEN (v // 16) >= (1::BIGINT << 32) THEN 24 WHEN (v // 16) >= (1::BIGINT << 31) THEN 25 WHEN (v // 16) >= (1::BIGINT << 30) THEN 26 WHEN (v // 16) >= (1::BIGINT << 29) THEN 27 WHEN (v // 16) >= (1::BIGINT << 28) THEN 28 WHEN (v // 16) >= (1::BIGINT << 27) THEN 29 WHEN (v // 16) >= (1::BIGINT << 26) THEN 30 WHEN (v // 16) >= (1::BIGINT << 25) THEN 31 WHEN (v // 16) >= (1::BIGINT << 24) THEN 32 WHEN (v // 16) >= (1::BIGINT << 23) THEN 33 WHEN (v // 16) >= (1::BIGINT << 22) THEN 34 WHEN (v // 16) >= (1::BIGINT << 21) THEN 35 WHEN (v // 16) >= (1::BIGINT << 20) THEN 36 WHEN (v // 16) >= (1::BIGINT << 19) THEN 37 WHEN (v // 16) >= (1::BIGINT << 18) THEN 38 WHEN (v // 16) >= (1::BIGINT << 17) THEN 39 ELSE 40 END AS rank
+      FROM h
+    ), regs AS (
+      SELECT key, bucket, max(rank) AS m_j FROM r GROUP BY key, bucket
+    ), z AS (
+      SELECT key, CAST(count(*) AS BIGINT) AS n_buckets_hit,
+             CAST(sum(1::BIGINT << (48 - m_j)) AS BIGINT) AS zh
+      FROM regs GROUP BY key
+    ), e AS (
+      SELECT key, n_buckets_hit,
+             CAST(zh + (16 - n_buckets_hit) * (1::BIGINT << 48) AS BIGINT)
+               AS z_scaled
+      FROM z
+    ), x AS (
+      SELECT key, CAST(count(DISTINCT url) AS BIGINT) AS n_exact
+      FROM u GROUP BY key
+    )
+    SELECT key, n_buckets_hit, z_scaled,
+      CAST(((256 * (1::BIGINT << 48)) // z_scaled) * 673 // 1000 AS BIGINT)
+        AS est_q,
+      n_exact
+    FROM e JOIN x USING (key)
+    """,
+)
+def hll_host_distinct(spark, sf_dir):
+    """Deterministic integer-exact HyperLogLog per-host distinct-URL
+    sketch (operators/corpus.hll_distinct): md5 hash, 16 max() registers
+    per host, all-integer raw-HLL estimator — the one approximate-distinct
+    form that can hash-match across engines (Spark's and DuckDB's builtin
+    approx_count_distinct never agree).  The oracle regenerates the same
+    rank comparison chain and floor arithmetic; n_exact rides along so
+    the sketch's accuracy is visible in the result itself.  Scale: the
+    register tree shuffles (host, 2 small ints) — network cost
+    independent of URL count — vs count_distinct's full-value shuffle."""
+    from crawld_spark.operators.corpus import hll_distinct
+
+    u = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias(
+            "host"
+        ),
+        F.concat(F.lit("/u/"), (F.col("doc_id") % 137).cast("string")).alias(
+            "url"
+        ),
+    )
+    est = hll_distinct(u, key_col="host", val_col="url")
+    exact = u.groupBy(F.col("host").alias("key")).agg(
+        F.count_distinct("url").cast("long").alias("n_exact")
+    )
+    return est.join(exact, "key")
+
+
+
 # ---------------------------------------------------------------------
 # Driver-row rotation (VERDICT r4 item 1): the driver's correctness gate
 # caps at the FIRST 50 lanes in queries() iteration order.  All 75 lanes

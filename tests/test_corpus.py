@@ -198,3 +198,77 @@ class TestMirrorHosts:
         got = self._pairs(spark, self.ROWS, max_hosts_per_digest=100)
         # 6 viral hosts -> C(6,2) = 15 extra pairs
         assert sum(1 for (x, _y) in got if x.startswith("v")) == 15
+
+
+class TestHllDistinct:
+    """operators/corpus.hll_distinct: deterministic integer HLL (oracled
+    via the hll_host_distinct lane; these pin a pure-Python register
+    replay, estimator accuracy in the raw-HLL zone, duplicate
+    insensitivity, and the shuffle discipline)."""
+
+    @staticmethod
+    def _ref(pairs):
+        """Pure-Python replay of the register tree + integer estimator."""
+        import hashlib
+
+        regs: dict = {}
+        for key, val in pairs:
+            v = int(hashlib.md5(val.encode()).hexdigest()[:15], 16)
+            bucket, w = v % 16, v // 16
+            rank = 40
+            for r in range(1, 40):
+                if w >= 1 << (56 - r):
+                    rank = r
+                    break
+            k = (key, bucket)
+            regs[k] = max(regs.get(k, 0), rank)
+        out = {}
+        for key in {k for k, _ in regs}:
+            ms = [m for (k, _), m in regs.items() if k == key]
+            z = sum(1 << (48 - m) for m in ms) + (16 - len(ms)) * (1 << 48)
+            est = ((256 * (1 << 48)) // z) * 673 // 1000
+            out[key] = (len(ms), z, est)
+        return out
+
+    def test_matches_python_replay(self, spark):
+        pairs = [(f"h{i % 3}", f"/p/{i % 57}") for i in range(300)]
+        df = spark.createDataFrame(pairs, "host string, url string")
+        got = {
+            r.key: (r.n_buckets_hit, r.z_scaled, r.est_q)
+            for r in corpus.hll_distinct(df).collect()
+        }
+        assert got == self._ref(pairs)
+
+    def test_duplicates_do_not_move_the_estimate(self, spark):
+        base = [("h", f"/u/{i}") for i in range(100)]
+        df1 = spark.createDataFrame(base, "host string, url string")
+        df5 = spark.createDataFrame(base * 5, "host string, url string")
+        e1 = corpus.hll_distinct(df1).collect()[0]
+        e5 = corpus.hll_distinct(df5).collect()[0]
+        assert (e1.z_scaled, e1.est_q) == (e5.z_scaled, e5.est_q)
+
+    def test_accuracy_in_raw_zone(self, spark):
+        # n = 500 distinct >> 2.5 * m = 40: raw HLL should land within
+        # ~3 standard errors (1.04/sqrt(16) ~ 26% each)
+        df = spark.createDataFrame(
+            [("h", f"/u/{i}") for i in range(500)], "host string, url string"
+        )
+        est = corpus.hll_distinct(df).collect()[0].est_q
+        assert 200 <= est <= 1000, est
+
+    def test_plan_partial_agg_no_python_no_window(self, spark):
+        df = spark.createDataFrame(
+            [("h", "/u/1")], "host string, url string"
+        )
+        plan = (
+            corpus.hll_distinct(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan, plan
+        for marker in ("BatchEvalPython", "ArrowEvalPython"):
+            assert marker not in plan, plan
+        assert "partial" in plan.lower(), plan
+        # the shuffle must key on (key, bucket) — never the value column
+        for seg in plan.split("Exchange hashpartitioning(")[1:]:
+            head = seg.split(")")[0]
+            assert "url#" not in head, head
