@@ -100,6 +100,10 @@ HEADLINE = [
     "cdx_prefix_scan",
     "warc_to_wet",
     "robots_audit",
+    "link_hits",
+    "trap_stats",
+    "budget_allocate",
+    "hll_host_distinct",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM
