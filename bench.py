@@ -104,6 +104,9 @@ HEADLINE = [
     "trap_stats",
     "budget_allocate",
     "hll_host_distinct",
+    "shard_assign",
+    "payload_type_stats",
+    "cms_heavy_hitters",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

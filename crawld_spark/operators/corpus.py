@@ -261,3 +261,92 @@ def hll_distinct(
             ).cast("long").alias("est_q"),
         )
     )
+
+
+# ---------------- Count-Min frequency sketch ----------------
+# The frequency dual of hll_distinct: a fixed-size (d × width) counter
+# table answering "how often does key X occur" with one-sided error
+# (never under, over by at most the collision mass of its lightest
+# row). The crawl-side use is skew detection: the frontier's Zipf head
+# (hot hosts, hot URL templates) must be found BEFORE the scheduler
+# shuffles on the key — the sketch's wire cost is ≤ d·width cells per
+# task regardless of key cardinality, so it can run every round as a
+# side-channel of the admission scan, where an exact per-key count at
+# 10^8 hosts would be a full extra aggregation of the same width as the
+# job it is trying to protect. md5-derived buckets keep it bit-identical
+# in the DuckDB twin (module hash contract in queries.py).
+
+CMS_D = 4  # independent hash rows
+
+
+def _cms_buckets(val: F.Column, width: int, d: int) -> F.Column:
+    """Array of the d row-buckets for a value: row k hashes
+    md5('k#' || val), takes 15 hex digits (60 bits, always positive) and
+    reduces mod width — the same conv path hll_distinct uses."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{k}#"), val)), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            ).cast("int")
+            for k in range(d)
+        ]
+    )
+
+
+def cms_cells(
+    df: DataFrame,
+    val_col: str = "host",
+    width: int = 64,
+    d: int = CMS_D,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build the Count-Min counter table ``(row, bucket, c)`` over
+    ``val_col`` (optionally weighted). One narrow generate + ONE
+    aggregation: posexplode emits d (row, bucket) ints per input row
+    map-side, and the groupBy partial-aggregates them to ≤ d·width cells
+    per task before the exchange — the shuffle carries a bounded-size
+    sketch, never the keys."""
+    w = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
+    return (
+        df.select(
+            F.posexplode(_cms_buckets(F.col(val_col), width, d)).alias(
+                "row", "bucket"
+            ),
+            w.alias("_w"),
+        )
+        .groupBy("row", "bucket")
+        .agg(F.sum("_w").cast("long").alias("c"))
+    )
+
+
+def cms_estimate(
+    cells: DataFrame,
+    keys: DataFrame,
+    val_col: str = "host",
+    width: int = 64,
+    d: int = CMS_D,
+) -> DataFrame:
+    """Point-estimate the sketch for each key in ``keys``:
+    ``est_q = min over rows of the key's counter`` (0 for a key no row
+    ever saw). ``keys`` is expected to be small (the candidate set being
+    screened — e.g. distinct hosts of one round's admissions); the cell
+    table is at most d·width rows, so Catalyst broadcasts whichever side
+    is narrower and nothing large shuffles."""
+    kb = keys.select(
+        F.col(val_col).alias("key"),
+        F.posexplode(_cms_buckets(F.col(val_col), width, d)).alias(
+            "row", "bucket"
+        ),
+    )
+    return (
+        kb.join(cells, ["row", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est_q"))
+    )

@@ -34,7 +34,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -74,6 +74,31 @@ def sniff_format(b: bytes) -> str | None:
     if len(b) >= 8 and b[:8] == PNG_MAGIC:
         return "png"
     return None
+
+
+def sniff_type_col(payload: Column | str) -> Column:
+    """JVM twin of :func:`sniff_format`: container magic → format string,
+    NULL for unrecognized payloads — as a pure codegen projection over a
+    binary column (``substring`` on BINARY + binary-literal equality, no
+    UDF, no Arrow hop). This is the scan-path classifier: a 100 TB
+    payload column gets typed at parquet-read speed, and only the rows a
+    decode lane actually wants cross into Python. Branch order mirrors
+    sniff_format exactly so the two sniffs can never disagree."""
+    p = F.col(payload) if isinstance(payload, str) else payload
+
+    def pre(off: int, magic: bytes) -> Column:
+        return F.substring(p, off + 1, len(magic)) == F.lit(magic)
+
+    return (
+        F.when(pre(0, b"\xff\xd8\xff"), F.lit("jpeg"))
+        .when(pre(0, b"BM"), F.lit("bmp"))
+        .when(pre(0, b"P6"), F.lit("ppm"))
+        .when(pre(0, b"P5"), F.lit("pgm"))
+        .when(pre(0, b"GIF87a") | pre(0, b"GIF89a"), F.lit("gif"))
+        .when(pre(0, b"RIFF") & pre(8, b"WAVE"), F.lit("wav"))
+        .when(pre(0, PNG_MAGIC), F.lit("png"))
+        .otherwise(F.lit(None).cast("string"))
+    )
 
 
 def encode_bmp(pixels: np.ndarray) -> bytes:

@@ -417,13 +417,19 @@ def events_windowed_agg(spark, sf_dir):
     """,
 )
 def fetch_order(spark, sf_dir):
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        _t(spark, sf_dir, "orders")
-        .where(F.col("o_custkey") < 100)
-        .withColumn("fetch_rank", F.row_number().over(w))
-        .select("o_orderkey", "fetch_rank")
+    """Canonical fetch order as the ENGINE computes it: the two-phase
+    range-partitioned prefix-sum rank (plans/rank.global_rank — the round
+    loop's real ordering path), not a single-partition window. The oracle's
+    row_number states the same total order; the Spark plan shuffles into
+    `shuffle.partitions` sorted ranges and stitches per-partition offsets,
+    so no executor ever holds the whole order."""
+    from crawld_spark.plans.rank import global_rank
+
+    d = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    ranked = global_rank(
+        d, [F.desc("o_totalprice"), F.asc("o_orderkey")], out="fetch_rank"
     )
+    return ranked.select("o_orderkey", "fetch_rank")
 
 
 @q(
@@ -3928,6 +3934,229 @@ def hll_host_distinct(spark, sf_dir):
     )
     return est.join(exact, "key")
 
+
+@q(
+    "shard_assign",
+    # rendezvous (HRW) host→fetcher-shard map (r5): argmax over s of
+    # md5(host || '#' || s) — md5 is the shared hash, so the oracle
+    # replays the argmax as a row_number over the same strings; ties
+    # (impossible for md5, but pinned anyway) break toward the LARGER
+    # shard on both sides to mirror array_max struct ordering
+    """
+    WITH hosts AS (
+      SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) AS host,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1
+    ), w8 AS (
+      SELECT host, n, t.s AS shard,
+             md5(host || '#' || CAST(t.s AS VARCHAR)) AS w
+      FROM hosts CROSS JOIN range(0, 8) t(s)
+    ), a8 AS (
+      SELECT host, n, CAST(shard AS BIGINT) AS shard FROM (
+        SELECT *, row_number() OVER (PARTITION BY host
+                                     ORDER BY w DESC, shard DESC) AS rk
+        FROM w8
+      ) WHERE rk = 1
+    ), w9 AS (
+      SELECT host, t.s AS shard,
+             md5(host || '#' || CAST(t.s AS VARCHAR)) AS w
+      FROM hosts CROSS JOIN range(0, 9) t(s)
+    ), a9 AS (
+      SELECT host, CAST(shard AS BIGINT) AS shard FROM (
+        SELECT *, row_number() OVER (PARTITION BY host
+                                     ORDER BY w DESC, shard DESC) AS rk
+        FROM w9
+      ) WHERE rk = 1
+    )
+    SELECT a8.shard,
+           CAST(count(*) AS BIGINT) AS n_hosts,
+           CAST(sum(a8.n) AS BIGINT) AS n_pages,
+           CAST(sum(CASE WHEN a8.shard <> a9.shard THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved
+    FROM a8 JOIN a9 USING (host)
+    GROUP BY a8.shard
+    """,
+)
+def shard_assign(spark, sf_dir):
+    """Host → fetcher-shard rendezvous hashing (operators/shards) — the
+    cluster analog of crawld's bounded worker pool
+    (/root/reference/crawld.go:129-243): a stable host→shard map keeps
+    each host's politeness clock on one executor, and HRW's resize
+    property (only ~1/(S+1) of hosts move when the fleet grows 8→9)
+    shows up directly in n_moved. Shuffle-free assignment: both the S=8
+    and S=9 argmaxes are codegen projections of the same host row — the
+    whole lane is one host-grain groupBy; the oracle replays the argmax
+    as a row_number over identical md5 strings."""
+    from crawld_spark.operators.shards import shard_resize_stats
+
+    h = (
+        _t(spark, sf_dir, "documents")
+        .groupBy(
+            F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string")).alias(
+                "host"
+            )
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return shard_resize_stats(h, n_from=8, n_to=9, weight_col="n")
+
+
+@q(
+    "payload_type_stats",
+    # JVM magic-byte payload typing (r5): the engine BUILDS real container
+    # payloads (BMP/PPM/PGM/PNG/GIF/WAV + garbage) then types them with a
+    # pure-codegen binary-prefix sniff; the oracle states the planted
+    # format arithmetically from doc_id (the frame_sample pattern)
+    """
+    SELECT CASE CAST(doc_id % 7 AS INT)
+             WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' WHEN 2 THEN 'pgm'
+             WHEN 3 THEN 'png' WHEN 4 THEN 'gif' WHEN 5 THEN 'wav'
+             ELSE 'unknown' END AS fmt,
+           CAST(count(*) AS BIGINT) AS n_payloads
+    FROM documents GROUP BY 1
+    """,
+)
+def payload_type_stats(spark, sf_dir):
+    """Corpus-wide payload-type census via the JVM magic-byte sniffer
+    (operators/multimodal.sniff_type_col): a 100 TB binary column is
+    typed at scan speed — substring-on-BINARY prefix equality inside
+    whole-stage codegen, no Python in the classify path — so decode
+    lanes (which DO pay the Arrow hop) see only the rows of their own
+    format. Payloads here are real encoder output (the same pure-numpy
+    encoders the decode lanes round-trip) plus an ASCII-hex garbage
+    bucket that must fall through to 'unknown'."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from crawld_spark.operators.multimodal import (
+        encode_bmp,
+        encode_gif,
+        encode_pgm,
+        encode_png,
+        encode_wav,
+        sniff_type_col,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for b in batches:
+            payloads = []
+            for i in b["doc_id"]:
+                i = int(i)
+                k = i % 7
+                yy, xx = np.mgrid[0:3, 0:4]
+                gray = ((i % 23) + 3 * xx + 5 * yy).astype(np.uint8) % 251
+                rgb = np.stack(
+                    [gray, (gray * 2) % 251, (gray * 3) % 251], axis=-1
+                ).astype(np.uint8)
+                if k == 0:
+                    p = encode_bmp(rgb)
+                elif k == 1:
+                    p = b"P6\n4 3\n255\n" + rgb.tobytes()
+                elif k == 2:
+                    p = encode_pgm(gray)
+                elif k == 3:
+                    p = encode_png(rgb)
+                elif k == 4:
+                    p = encode_gif(rgb)
+                elif k == 5:
+                    p = encode_wav(
+                        (np.arange(16, dtype=np.int16) * ((i % 5) + 1)).astype(
+                            np.int16
+                        )
+                    )
+                else:
+                    p = hashlib.md5(str(i).encode()).hexdigest().encode()
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": b["doc_id"].values, "payload": payloads})
+
+    payloads = d.mapInPandas(build, schema)
+    return (
+        payloads.select(
+            F.coalesce(sniff_type_col("payload"), F.lit("unknown")).alias("fmt")
+        )
+        .groupBy("fmt")
+        .agg(F.count("*").cast("long").alias("n_payloads"))
+    )
+
+
+@q(
+    "cms_heavy_hitters",
+    # Count-Min frequency sketch (r5): the frequency dual of
+    # hll_host_distinct — md5-derived (row, bucket) cells, min-over-rows
+    # point estimates, one-sided error (est >= exact always); skewed
+    # host synth: 'hot' carries ~half the mass, h0..h9 warm, c0..c99 cold
+    """
+    WITH u AS (
+      SELECT CASE
+               WHEN doc_id % 4 < 2 THEN 'hot'
+               WHEN doc_id % 4 = 2 THEN 'h' || CAST(doc_id % 10 AS VARCHAR)
+               ELSE 'c' || CAST(doc_id % 100 AS VARCHAR)
+             END AS host
+      FROM documents
+    ), cells AS (
+      SELECT t.r AS row,
+             CAST(CAST(('0x' || substring(md5(CAST(t.r AS VARCHAR) || '#'
+                        || host), 1, 15)) AS BIGINT) % 64 AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM u CROSS JOIN range(0, 4) t(r)
+      GROUP BY 1, 2
+    ), k AS (
+      SELECT host, CAST(count(*) AS BIGINT) AS n_exact FROM u GROUP BY host
+    ), kb AS (
+      SELECT k.host, k.n_exact, t.r AS row,
+             CAST(CAST(('0x' || substring(md5(CAST(t.r AS VARCHAR) || '#'
+                        || k.host), 1, 15)) AS BIGINT) % 64 AS INT) AS bucket
+      FROM k CROSS JOIN range(0, 4) t(r)
+    )
+    SELECT kb.host AS key, CAST(min(cells.c) AS BIGINT) AS est_q,
+           min(kb.n_exact) AS n_exact,
+           (CAST(min(cells.c) AS BIGINT) >= 40) AS is_heavy
+    FROM kb JOIN cells USING (row, bucket)
+    GROUP BY kb.host
+    """,
+)
+def cms_heavy_hitters(spark, sf_dir):
+    """Count-Min heavy-hitter screen (operators/corpus.cms_cells /
+    cms_estimate): the frontier-skew detector — a fixed d×64-cell sketch
+    whose shuffle cost is independent of key cardinality flags the Zipf
+    head (the hosts that need salting / budget caps) without an exact
+    per-key aggregation at 10^8 hosts. One-sided error by construction:
+    est_q >= n_exact for every key, and n_exact rides along so the
+    overestimate is visible in the result."""
+    from crawld_spark.operators.corpus import cms_cells, cms_estimate
+
+    u = _t(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 4 < 2, F.lit("hot"))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("c"), (F.col("doc_id") % 100).cast("string"))
+        )
+        .alias("host")
+    )
+    cells = cms_cells(u, val_col="host", width=64)
+    keys = u.groupBy("host").agg(F.count("*").cast("long").alias("n_exact"))
+    est = cms_estimate(cells, keys, val_col="host", width=64)
+    return est.join(
+        keys.select(F.col("host").alias("key"), "n_exact"), "key"
+    ).select(
+        "key", "est_q", "n_exact", (F.col("est_q") >= 40).alias("is_heavy")
+    )
 
 
 # ---------------------------------------------------------------------

@@ -272,3 +272,120 @@ class TestHllDistinct:
         for seg in plan.split("Exchange hashpartitioning(")[1:]:
             head = seg.split(")")[0]
             assert "url#" not in head, head
+
+
+class TestCms:
+    """operators/corpus.cms_cells / cms_estimate: Count-Min frequency
+    sketch (oracled via the cms_heavy_hitters lane; these pin the
+    pure-Python replay, the one-sided-error law, the bounded cell table,
+    and exactness when nothing collides)."""
+
+    @staticmethod
+    def _py_cells(vals, width=64, d=4):
+        import hashlib
+        from collections import Counter
+
+        cells: Counter = Counter()
+        for v in vals:
+            for k in range(d):
+                h = int(
+                    hashlib.md5(f"{k}#{v}".encode()).hexdigest()[:15], 16
+                )
+                cells[(k, h % width)] += 1
+        return cells
+
+    def _vals(self):
+        # skewed: 'hot' 60x, ten warm keys 6x, forty cold keys once
+        return (
+            ["hot"] * 60
+            + [f"w{i}" for i in range(10) for _ in range(6)]
+            + [f"c{i}" for i in range(40)]
+        )
+
+    def test_cells_match_python_replay(self, spark):
+        from crawld_spark.operators.corpus import cms_cells
+
+        vals = self._vals()
+        df = spark.createDataFrame([(v,) for v in vals], "host string")
+        got = {
+            (r.row, r.bucket): r.c for r in cms_cells(df, "host").collect()
+        }
+        want = dict(self._py_cells(vals))
+        assert got == want
+        # bounded: never more than d*width cells, total mass = d*n
+        assert len(got) <= 4 * 64
+        assert sum(got.values()) == 4 * len(vals)
+
+    def test_one_sided_error_and_heavy_hitter(self, spark):
+        from collections import Counter
+
+        from crawld_spark.operators.corpus import cms_cells, cms_estimate
+
+        vals = self._vals()
+        exact = Counter(vals)
+        df = spark.createDataFrame([(v,) for v in vals], "host string")
+        keys = df.distinct()
+        est = {
+            r.key: r.est_q
+            for r in cms_estimate(cms_cells(df, "host"), keys, "host").collect()
+        }
+        assert set(est) == set(exact)
+        for k, n in exact.items():
+            assert est[k] >= n, (k, est[k], n)  # never underestimates
+        assert max(est, key=est.get) == "hot"
+
+    def test_exact_when_no_collisions(self, spark):
+        from crawld_spark.operators.corpus import cms_cells, cms_estimate
+
+        # 3 keys in a 64-wide sketch: at least one of the 4 rows is
+        # collision-free for every key with these md5s, so min == exact
+        df = spark.createDataFrame(
+            [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1, "host string"
+        )
+        est = {
+            r.key: r.est_q
+            for r in cms_estimate(
+                cms_cells(df, "host"), df.distinct(), "host"
+            ).collect()
+        }
+        assert est == {"a": 5, "b": 3, "c": 1}
+
+    def test_missing_key_estimates_zero_or_collision_mass(self, spark):
+        from crawld_spark.operators.corpus import cms_cells, cms_estimate
+
+        df = spark.createDataFrame([("a",)] * 4, "host string")
+        keys = spark.createDataFrame([("never-seen",)], "host string")
+        est = cms_estimate(cms_cells(df, "host"), keys, "host").collect()
+        assert len(est) == 1 and 0 <= est[0].est_q <= 4
+
+    def test_weighted_cells(self, spark):
+        from pyspark.sql import functions as F
+
+        from crawld_spark.operators.corpus import cms_cells, cms_estimate
+
+        df = spark.createDataFrame(
+            [("a", 10), ("a", 5), ("b", 2)], "host string, w long"
+        )
+        est = {
+            r.key: r.est_q
+            for r in cms_estimate(
+                cms_cells(df, "host", weight_col="w"),
+                df.select("host").distinct(),
+                "host",
+            ).collect()
+        }
+        assert est["a"] >= 15 and est["b"] >= 2
+
+    def test_cell_build_is_one_partial_agg(self, spark):
+        from crawld_spark.operators.corpus import cms_cells
+
+        df = spark.createDataFrame([("a",)], "host string")
+        plan = (
+            cms_cells(df, "host")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "partial" in plan.lower(), plan
+        # the exchange keys on (row, bucket), never the value column
+        for seg in plan.split("Exchange hashpartitioning(")[1:]:
+            head = seg.split(")")[0]
+            assert "host#" not in head, head

@@ -1842,3 +1842,73 @@ class TestChangeRate:
         # the lag window's spec must partition by the URL (bounded per-URL
         # history), never run unpartitioned
         assert "windowspecdefinition(url" in plan, plan
+
+
+class TestSniffTypeCol:
+    """JVM magic-byte sniffer (multimodal.sniff_type_col) vs the Python
+    sniff_format it mirrors: same verdict on every encoder's real output,
+    NULL on garbage, and a pure projection (no Exchange, no Python UDF)."""
+
+    def _payloads(self):
+        import numpy as np
+
+        from crawld_spark.operators.jpeg import encode_jpeg
+        from crawld_spark.operators.multimodal import (
+            encode_bmp,
+            encode_gif,
+            encode_gif_anim,
+            encode_pgm,
+            encode_png,
+            encode_wav,
+        )
+
+        gray = (np.arange(12).reshape(3, 4) * 17 % 251).astype(np.uint8)
+        rgb = np.stack([gray, gray // 2, gray * 2 % 251], axis=-1).astype(
+            np.uint8
+        )
+        return [
+            encode_bmp(rgb),
+            b"P6\n4 3\n255\n" + rgb.tobytes(),
+            encode_pgm(gray),
+            encode_png(rgb),
+            encode_gif(rgb),
+            encode_gif_anim([rgb, rgb]),
+            encode_wav(np.arange(16, dtype=np.int16)),
+            encode_jpeg(rgb),
+            b"0123456789abcdef",  # ascii-hex garbage -> None
+            b"",  # empty -> None
+            b"R",  # 1-byte prefix of RIFF -> None
+        ]
+
+    def test_agrees_with_python_sniffer(self, spark):
+        from crawld_spark.operators.multimodal import (
+            sniff_format,
+            sniff_type_col,
+        )
+
+        payloads = self._payloads()
+        want = [sniff_format(p) for p in payloads]
+        assert want[:8] == ["bmp", "ppm", "pgm", "png", "gif", "gif", "wav", "jpeg"]
+        assert want[8:] == [None, None, None]
+        df = spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in enumerate(payloads)],
+            "i long, payload binary",
+        )
+        got = {
+            r.i: r.fmt
+            for r in df.select(
+                "i", sniff_type_col("payload").alias("fmt")
+            ).collect()
+        }
+        assert [got[i] for i in range(len(payloads))] == want
+
+    def test_is_pure_projection(self, spark):
+        from crawld_spark.operators.multimodal import sniff_type_col
+
+        df = spark.createDataFrame([(1, bytearray(b"BMxx"))], "i long, payload binary")
+        plan = (
+            df.select(sniff_type_col("payload").alias("fmt"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
+        assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
