@@ -107,6 +107,7 @@ HEADLINE = [
     "shard_assign",
     "payload_type_stats",
     "cms_heavy_hitters",
+    "robots_rfc_audit",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

@@ -3669,6 +3669,93 @@ def robots_audit(spark, sf_dir):
     )
 
 
+@q(
+    "robots_rfc_audit",
+    # RFC 9309 robots audit (r5): Allow/Disallow + '*' and '$' wildcards
+    # with longest-pattern-wins (Allow beats Disallow on ties). Bodies
+    # synthesized per host (h = doc_id % 12), ENGINE parses with the RFC
+    # pandas-UDF parser and evaluates the pure-JVM glob fold
+    # (functions/robots.rfc_verdict); oracle states the verdicts
+    # arithmetically — parse + match vs ground truth. Families:
+    # h%4==0: Disallow /*.php$ overridden by the MORE specific
+    #         Allow /p/1*.php$; h%4==1: mid-pattern wildcard /p/*2 plus
+    # Crawl-delay; h%4==2: Disallow / beaten by Allow /p/ beaten by
+    # Disallow /p/9*; h%4==3: agent-specific 'crawld' group (wildcard
+    # rule) must win over the '*' group's Disallow: /.
+    """
+    WITH u AS (
+      SELECT doc_id, doc_id % 12 AS h,
+             '/p/' || doc_id ||
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '.php'
+                    WHEN 1 THEN '.html' ELSE '' END AS path
+      FROM documents
+    )
+    SELECT doc_id,
+           'rfc' || h || '.example.com' AS host,
+           CASE CAST(h % 4 AS INT)
+             WHEN 0 THEN path LIKE '%.php' AND path NOT LIKE '/p/1%'
+             WHEN 1 THEN path LIKE '/p/%2%'
+             WHEN 2 THEN path LIKE '/p/9%'
+             ELSE path LIKE '%.html' END AS denied,
+           CASE WHEN h % 4 = 1 THEN 1.5 ELSE -1.0 END AS crawl_delay_s
+    FROM u
+    """,
+)
+def robots_rfc_audit(spark, sf_dir):
+    """RFC 9309 robots compliance audit — the allow/deny half of the
+    north rule's "politeness, robots" at full wildcard semantics.
+    Same scale shape as robots_audit (host-cardinality parse, rules
+    broadcast into the URL scan) but the per-URL verdict is the glob
+    segment fold of functions/robots.rfc_verdict: higher-order array
+    functions over pre-split literal segments — startswith/locate only,
+    no regex, no Python, and the URL table never shuffles."""
+    from crawld_spark.functions.robots import rfc_verdict, robots_rfc_table
+
+    def body_of(h: int) -> str:
+        lines = ["User-agent: *"]
+        f = h % 4
+        if f == 0:
+            lines += ["Disallow: /*.php$", "Allow: /p/1*.php$"]
+        elif f == 1:
+            lines += ["Disallow: /p/*2", "Crawl-delay: 1.5"]
+        elif f == 2:
+            lines += ["Disallow: /", "Allow: /p/", "Disallow: /p/9*"]
+        else:
+            lines += [
+                "Disallow: /",
+                "",
+                "User-agent: crawld",
+                "Disallow: /p/*.html$",
+            ]
+        return "\n".join(lines)
+
+    rb = spark.createDataFrame(
+        [(f"rfc{h}.example.com", body_of(h)) for h in range(12)],
+        "host string, body string",
+    )
+    rules = robots_rfc_table(rb, agent="crawld-spark/1.0")
+    u = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("rfc"), (F.col("doc_id") % 12).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        F.concat(
+            F.lit("/p/"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(".php"))
+            .when(F.col("doc_id") % 3 == 1, F.lit(".html"))
+            .otherwise(F.lit("")),
+        ).alias("path"),
+    )
+    j = u.join(F.broadcast(rules), "host", "left")
+    return j.select(
+        "doc_id",
+        "host",
+        rfc_verdict("path", "rules").alias("denied"),
+        F.coalesce(F.col("crawl_delay_s"), F.lit(-1.0)).alias("crawl_delay_s"),
+    )
+
+
 def _hits_ctes(n_iter: int) -> list[str]:
     ctes = [
         """e AS (

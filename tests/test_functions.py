@@ -683,3 +683,136 @@ class TestBpeTrainer:
         # 'newest' (6) wins the cap; all pair counts tie at 6 each round ->
         # lexicographic: (e,s) first, then (e,w), then (es,t)
         assert merges == [("e", "s"), ("e", "w"), ("es", "t")]
+
+
+class TestRobotsRfc:
+    """RFC 9309 robots semantics (functions/robots.py RFC family):
+    Allow/Disallow + '*'/'$' wildcards, longest-pattern precedence with
+    Allow winning ties; the JVM glob fold must agree verdict-for-verdict
+    with the pure-Python twin and a regex reference, with no Python and
+    no regex in the probe plan."""
+
+    def test_compile_rule(self):
+        from crawld_spark.functions.robots import _SENTINEL, _compile_rule
+
+        r = _compile_rule("/*.php$", allow=False)
+        assert r["segs"] == ["/", ".php" + _SENTINEL]
+        assert r["spec"] == 7 and r["allow"] is False
+        r = _compile_rule("/p/", allow=True)
+        assert r["segs"] == ["/p/"] and r["spec"] == 3 and r["allow"]
+        r = _compile_rule("*", allow=False)
+        assert r["segs"] == ["", ""]
+
+    def test_glob_matcher_vs_regex_reference(self):
+        import re
+
+        from crawld_spark.functions.robots import _compile_rule, match_glob_py
+
+        patterns = [
+            "/", "/p/", "/*.php$", "/p/*2", "/a*b*c", "/a*b*c$", "*",
+            "/fish$", "/fish*$", "/p/**9", "/exact$", "$",
+        ]
+        paths = [
+            "", "/", "/p/", "/p/1.php", "/p/10.php", "/p/3.php", "/fish",
+            "/fishheads", "/p/92", "/a-b-c", "/a-b-c-d", "/axbxc",
+            "/p/129", "/exact", "/exactly", "/p/2", "/abc",
+        ]
+        for pat in patterns:
+            anchored = pat.endswith("$")
+            core = pat[:-1] if anchored else pat
+            rx = re.compile(
+                "^" + ".*".join(re.escape(s) for s in core.split("*"))
+                + ("$" if anchored else "")
+            )
+            segs = _compile_rule(pat, allow=False)["segs"]
+            for path in paths:
+                want = rx.search(path) is not None
+                got = match_glob_py(path, segs)
+                assert got == want, (pat, path, got, want)
+
+    def test_parse_groups_and_precedence(self):
+        from crawld_spark.functions.robots import parse_robots_rfc
+
+        body = (
+            "User-agent: *\nDisallow: /\nAllow: /p/\n\n"
+            "User-agent: crawld\nDisallow: /*.html$\nCrawl-delay: 3\n"
+        )
+        rules, delay = parse_robots_rfc(body, agent="crawld-spark/1.0")
+        assert len(rules) == 1 and delay == 3.0  # agent group wins
+        rules, delay = parse_robots_rfc(body, agent="otherbot")
+        assert len(rules) == 2 and delay is None
+        # empty-value directives are no-ops; allow flag carried through
+        rules, _ = parse_robots_rfc(
+            "User-agent: *\nDisallow:\nAllow: /x\n", agent="*"
+        )
+        assert [(r["allow"]) for r in rules] == [True]
+
+    def _verdict_py(self, rules, path):
+        from crawld_spark.functions.robots import match_glob_py
+
+        best = None
+        for r in rules:
+            if match_glob_py(path, r["segs"]):
+                key = (r["spec"], 1 if r["allow"] else 0)
+                best = key if best is None or key > best else best
+        return best is not None and best[1] == 0
+
+    def test_spark_verdict_matches_python(self, spark):
+        from crawld_spark.functions.robots import (
+            parse_robots_rfc,
+            rfc_verdict,
+            robots_rfc_table,
+        )
+
+        bodies = {
+            "a": "User-agent: *\nDisallow: /*.php$\nAllow: /p/1*.php$\n",
+            "b": "User-agent: *\nDisallow: /p/*2\n",
+            "c": "User-agent: *\nDisallow: /\nAllow: /p/\nDisallow: /p/9*\n",
+            "d": "User-agent: *\nDisallow: /\n\nUser-agent: crawld\nDisallow: /p/*.html$\n",
+            "e": "User-agent: *\n",  # no rules at all
+        }
+        paths = [
+            "/p/1.php", "/p/10.php", "/p/3.php", "/p/12", "/p/92",
+            "/p/9", "/q/2", "/p/x.html", "/", "/p/", "/p/129.php",
+        ]
+        rb = spark.createDataFrame(
+            list(bodies.items()), "host string, body string"
+        )
+        rules_df = robots_rfc_table(rb, agent="crawld-spark/1.0")
+        urls = spark.createDataFrame(
+            [(h, p) for h in bodies for p in paths], "host string, path string"
+        )
+        got = {
+            (r.host, r.path): r.denied
+            for r in urls.join(rules_df, "host")
+            .select("host", "path", rfc_verdict("path", "rules").alias("denied"))
+            .collect()
+        }
+        for h, body in bodies.items():
+            rules, _ = parse_robots_rfc(body, agent="crawld-spark/1.0")
+            for p in paths:
+                assert got[(h, p)] == self._verdict_py(rules, p), (h, p)
+
+    def test_verdict_plan_has_no_python(self, spark):
+        from crawld_spark.functions.robots import rfc_verdict
+
+        df = spark.createDataFrame(
+            [("/p/1", [(["/p/"], 3, False)])],
+            "path string, rules array<struct<segs:array<string>,spec:int,allow:boolean>>",
+        )
+        plan = (
+            df.select(rfc_verdict("path", "rules").alias("denied"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+        assert "RLike" not in plan and "regexp" not in plan.lower(), plan
+
+    def test_null_and_empty_rules_allow(self, spark):
+        from crawld_spark.functions.robots import rfc_verdict
+
+        df = spark.createDataFrame(
+            [("/x", None), ("/y", [])],
+            "path string, rules array<struct<segs:array<string>,spec:int,allow:boolean>>",
+        )
+        rows = df.select("path", rfc_verdict("path", "rules").alias("d")).collect()
+        assert all(not r.d for r in rows)
