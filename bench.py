@@ -108,6 +108,7 @@ HEADLINE = [
     "payload_type_stats",
     "cms_heavy_hitters",
     "robots_rfc_audit",
+    "pld_stats",
 ]
 
 # synthetic-frontier scale for the URLs/sec measurement; big enough that JVM

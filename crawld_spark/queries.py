@@ -3756,6 +3756,78 @@ def robots_rfc_audit(spark, sf_dir):
     )
 
 
+@q(
+    "pld_stats",
+    # registrable-domain (pay-level-domain) rollup (r5): the ENGINE
+    # parses hosts with functions/url.registrable_domain (PSL-style
+    # multi-label suffixes); the oracle states the expected PLD
+    # arithmetically from doc_id — parse vs ground truth. Three host
+    # families: deep subdomain under a plain TLD, deep subdomain under
+    # a multi-label suffix (shop.co.uk), and a host directly under a
+    # multi-label suffix (siteN.com.au = its own PLD).
+    """
+    WITH u AS (
+      SELECT CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'a' || CAST(doc_id % 7 AS VARCHAR)
+                           || '.sub.example.com'
+               WHEN 1 THEN 'b' || CAST(doc_id % 5 AS VARCHAR)
+                           || '.shop.co.uk'
+               ELSE 'site' || CAST(doc_id % 4 AS VARCHAR) || '.com.au'
+             END AS host,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'example.com'
+               WHEN 1 THEN 'shop.co.uk'
+               ELSE 'site' || CAST(doc_id % 4 AS VARCHAR) || '.com.au'
+             END AS pld
+      FROM documents
+    )
+    SELECT pld, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(count(*) AS BIGINT) AS n_pages
+    FROM u GROUP BY pld
+    """,
+)
+def pld_stats(spark, sf_dir):
+    """Pay-level-domain rollup (functions/url.registrable_domain): the
+    grain politeness budgets and host reputation aggregate at —
+    blog/www/shop subdomains of one registrant are ONE budget bucket.
+    The PLD is a pure codegen projection (split/slice/array_join + a
+    literal isin over the multi-label suffix set — no UDF, no join), so
+    the rollup costs exactly one host-grain aggregation."""
+    from crawld_spark.functions.url import registrable_domain
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("a"), (F.col("doc_id") % 7).cast("string"),
+                F.lit(".sub.example.com"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("b"), (F.col("doc_id") % 5).cast("string"),
+                F.lit(".shop.co.uk"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("site"), (F.col("doc_id") % 4).cast("string"),
+                F.lit(".com.au"),
+            )
+        )
+        .alias("host")
+    )
+    return (
+        d.select("host", registrable_domain("host").alias("pld"))
+        .groupBy("pld")
+        .agg(
+            F.count_distinct("host").cast("long").alias("n_hosts"),
+            F.count("*").cast("long").alias("n_pages"),
+        )
+    )
+
+
 def _hits_ctes(n_iter: int) -> list[str]:
     ctes = [
         """e AS (

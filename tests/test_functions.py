@@ -816,3 +816,51 @@ class TestRobotsRfc:
         )
         rows = df.select("path", rfc_verdict("path", "rules").alias("d")).collect()
         assert all(not r.d for r in rows)
+
+
+class TestRegistrableDomain:
+    """functions/url.registrable_domain: PSL-style PLD extraction as a
+    pure projection (oracled via pld_stats; these pin literal cases and
+    the plan shape)."""
+
+    def test_literal_cases(self, spark):
+        from crawld_spark.functions.url import registrable_domain
+
+        cases = {
+            "www.example.com": "example.com",
+            "a.b.c.example.com": "example.com",
+            "example.com": "example.com",
+            "x.shop.co.uk": "shop.co.uk",
+            "shop.co.uk": "shop.co.uk",
+            "co.uk": "co.uk",           # host IS a suffix -> itself
+            "deep.a.gov.cn": "a.gov.cn",
+            "localhost": "localhost",    # dotless -> itself
+            "s1.com.au": "s1.com.au",
+        }
+        df = spark.createDataFrame([(h,) for h in cases], "host string")
+        got = {
+            r.host: r.pld
+            for r in df.select(
+                "host", registrable_domain("host").alias("pld")
+            ).collect()
+        }
+        assert got == cases
+
+    def test_custom_suffix_set(self, spark):
+        from crawld_spark.functions.url import registrable_domain
+
+        df = spark.createDataFrame([("x.y.custom.tld",)], "host string")
+        pld = df.select(
+            registrable_domain("host", multi_suffixes=("custom.tld",)).alias("p")
+        ).collect()[0].p
+        assert pld == "y.custom.tld"
+
+    def test_is_pure_projection(self, spark):
+        from crawld_spark.functions.url import registrable_domain
+
+        df = spark.createDataFrame([("a.b.com",)], "host string")
+        plan = (
+            df.select(registrable_domain("host").alias("p"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "PythonUDF" not in plan, plan
