@@ -32,8 +32,22 @@ def norm_tokens(text: Column) -> Column:
 
 
 def shingles(text: Column, k: int) -> Column:
-    """k-word shingles, distinct, as strings joined by single spaces."""
-    toks = norm_tokens(text)
+    """k-word shingles, distinct, as strings joined by single spaces.
+
+    NOTE (r6): expressions inside higher-order-function lambdas are
+    re-evaluated per element — referencing ``norm_tokens(text)`` here makes
+    every shingle recompute the regex split (O(words²) per document). When
+    the caller can stage a token-array column first, use
+    :func:`shingles_of_tokens` over that column instead (an attribute
+    reference is free per element). This form is kept for one-shot
+    projections where staging is not worth a plan step.
+    """
+    return shingles_of_tokens(norm_tokens(text), k)
+
+
+def shingles_of_tokens(toks: Column, k: int) -> Column:
+    """k-word shingles over an existing token-array column (see
+    :func:`shingles` — pass an *attribute*, not a recomputed expression)."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.array_distinct(
@@ -80,33 +94,43 @@ def minhash_lsh_buckets(
     """MinHash signatures → LSH bands → bucket rows. Docs sharing a band
     bucket are near-dup candidates. Output: (band_id, band_key, doc_id).
 
-    Plan shape, measured (sf0.1, warm, local[32]): the per-band
-    union-of-projections (8.0 s) beats both an explode of band structs
-    (12.9 s) and a signature-materializing exchange + explode (13.8 s).
-    Catalyst collapses the signature projection into each consumer either
-    way, so every variant evaluates n_hashes seeded mins per doc — but the
-    union keeps them in plain whole-stage-codegen'd projections over
-    n_bands× the rows, where the generator (GenerateExec) variant evaluates
-    all mins inside one pass per row outside codegen's vectorized sweet
-    spot. Scale: the union reads the doc text n_bands times — fine when the
-    source is columnar storage; if the upstream is an expensive subplan,
-    cache it first."""
-    sig = docs.select(F.col(id_col), *minhash_sig(shingles(F.col(text_col), shingle_k), n_hashes))
+    Plan shape (re-measured r6, sf1.0, warm, local[32]): STAGED projections
+    — tokens, then shingles, then the n_hashes seeded mins, then one explode
+    of band structs. The r2-era union-of-projections inlined
+    ``shingles(text)`` into every seeded min, and expressions inside
+    higher-order-function lambdas are re-evaluated per element, so every
+    shingle re-ran the regex tokenization: 52 s for the sf1.0 bucket pass.
+    Staging each step as its own projection evaluates tokenization and
+    shingling exactly once per document (CollapseProject keeps non-cheap
+    expressions referenced more than once in separate projects), and the
+    single explode replaces n_bands input re-scans: 2.7 s for the identical
+    bucket rows (bit-for-bit, exceptAll-verified both directions).
+    """
+    t1 = docs.select(F.col(id_col), norm_tokens(F.col(text_col)).alias("_toks"))
+    t2 = t1.select(
+        F.col(id_col), shingles_of_tokens(F.col("_toks"), shingle_k).alias("_sh")
+    )
+    sig = t2.select(F.col(id_col), *minhash_sig(F.col("_sh"), n_hashes))
     n_bands = n_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-        bands.append(
-            sig.select(
+    bands = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
-                F.col(id_col),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
+                    )
+                ).alias("band_key"),
             )
-        )
-    out = bands[0]
-    for b in bands[1:]:
-        out = out.unionByName(b)
-    return out
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(bands).alias("_bk")).select(
+        F.col("_bk.band_id").alias("band_id"),
+        F.col("_bk.band_key").alias("band_key"),
+        F.col(id_col),
+    )
 
 
 def minhash_candidate_groups(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -239,6 +263,10 @@ def dedup_clusters(
     cluster_id = the smallest doc_id in the near-dup cluster — the
     canonical keeper a training pipeline retains."""
     buckets = minhash_lsh_buckets(docs, n_hashes, band_size, shingle_k, id_col, text_col)
+    # two consumers (roots agg + member join): materialize the (band, id)
+    # rows once — digests + ids only — instead of re-running the signature
+    # pass per consumer (the neardup_mark discipline; r6)
+    buckets = buckets.localCheckpoint(eager=False)
     roots = buckets.groupBy("band_id", "band_key").agg(F.min(id_col).alias("_root"))
     edges = (
         buckets.join(roots, on=["band_id", "band_key"])
@@ -371,6 +399,61 @@ def simhash_hamming(a: Column, b: Column) -> Column:
     return total.cast("int")
 
 
+def simhash64_agg(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """64-bit SimHash via explode + codegen groupBy → ``(id_col, _sim)``,
+    bit-identical to :func:`simhash64_hex` (exceptAll-verified, and pinned
+    by the band/signature parity test).
+
+    Why a second construction (r6): the per-row ``aggregate`` form runs its
+    64-wide lambda per TOKEN in interpreted mode — higher-order functions
+    are CodegenFallback, so 64 substring+IN tests and a 64-int zip_with
+    allocate per token (~33 s for the sf1.0 banding lane). Here the token
+    stream is exploded to rows, the md5 and the 16 hex-digit extractions
+    are plain codegen'd projections (CSE evaluates the md5 once per token),
+    and the per-bit tallies are 64 map-side-combinable SUMs: the shuffle
+    carries 65 longs per document, text never moves, and nothing falls out
+    of whole-stage codegen. Bit b of digit d is ``(digit >> k) & 1`` —
+    exactly the _HEX_BIT IN-list test; simhash bit b = (2·count_b >
+    n_tokens) ⟺ Σ(±1) > 0. Empty documents tokenize to [''] so they emit
+    one md5('') row and survive the groupBy, matching the per-row form.
+    """
+    ex = docs.select(
+        F.col(id_col), F.explode(norm_tokens(F.col(text_col))).alias("_w")
+    )
+    dig = ex.select(
+        F.col(id_col),
+        *[
+            F.conv(F.substring(F.md5(F.col("_w")), d + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"_d{d}")
+            for d in range(16)
+        ],
+    )
+    aggs = []
+    for b in range(64):
+        d, k = b // 4, b % 4
+        aggs.append(
+            F.sum(F.shiftright(F.col(f"_d{d}"), k).bitwiseAND(F.lit(1))).alias(f"_c{b}")
+        )
+    g = dig.groupBy(id_col).agg(F.count("*").alias("_n"), *aggs)
+    digits = []
+    for d in range(16):
+        val = sum(
+            (
+                F.when(
+                    F.col(f"_c{4 * d + k}") * 2 > F.col("_n"), F.lit(1 << k)
+                ).otherwise(F.lit(0))
+            )
+            for k in range(4)
+        )
+        digits.append(F.lower(F.conv(val.cast("string"), 10, 16)))
+    return g.select(F.col(id_col), F.concat(*digits).alias("_sim"))
+
+
 def simhash_band_buckets(
     docs: DataFrame,
     n_bands: int = 4,
@@ -381,19 +464,12 @@ def simhash_band_buckets(
     docs sharing a band bucket are near-dup candidates, and every pair
     within Hamming distance ``n_bands - 1`` is guaranteed to share one.
 
-    Plan shape: the OPPOSITE choice from minhash_lsh_buckets, on the same
-    measurement logic. There the per-band expressions are cheap (4 seeded
-    md5 mins) and the union-of-projections wins; here the signature is one
-    EXPENSIVE 64-bit aggregate, and a union re-evaluates it once per band
-    (measured 27.1 s vs 3.6 s for the single-evaluation signature at
-    sf0.1). Exploding band structs over one signature projection computes
-    it once — CollapseProject keeps the `_sim` projection separate because
-    merging would duplicate a non-cheap expression 4×."""
-    sig = docs.select(F.col(id_col), simhash64_hex(F.col(text_col)).alias("_sim"))
-    # hard plan barrier: an exchange of the (id, 16-char hex) signature rows
-    # — trivially cheap — guarantees the 64-bit aggregate is evaluated
-    # exactly once per doc regardless of optimizer collapse behavior
-    sig = sig.repartition(F.col(id_col))
+    Signature via :func:`simhash64_agg` (r6): the groupBy output is a plan
+    barrier by construction — the 64-bit signature is computed exactly once
+    per document, fully inside whole-stage codegen (the r2-era per-row
+    aggregate ran interpreted; see simhash64_agg docstring for numbers) —
+    and the band explode runs over the tiny (id, 16-hex) frame."""
+    sig = simhash64_agg(docs, id_col=id_col, text_col=text_col)
     w = 16 // n_bands
     bands = F.array(
         *[
@@ -499,9 +575,11 @@ def paragraph_dedup(
     Shuffle keys are 32-byte digests; chunk text rides only the join probe
     side. Reassembly groups by doc id — bounded by document size.
     """
+    # two consumers (keep-first agg + join-back): materialize the chunk
+    # rows once — digests + positions + chunk text (r6)
     ch = paragraph_chunks(docs, id_col, text_col, chunk_words).withColumn(
         "h", F.md5("chunk")
-    )
+    ).localCheckpoint(eager=False)
     first = ch.groupBy("h").agg(
         F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("f")
     )
@@ -562,9 +640,10 @@ def boilerplate_strip(
     window by chunk hash (same skew argument as paragraph_dedup);
     reassembly groups by doc id (document-size-bounded).
     """
+    # two consumers (host-frequency agg + marking join): materialize once (r6)
     ch = paragraph_chunks(
         docs, id_col, text_col, chunk_words, carry_cols=[host_col]
-    ).withColumn("h", F.md5("chunk"))
+    ).withColumn("h", F.md5("chunk")).localCheckpoint(eager=False)
     nd = ch.groupBy(host_col, "h").agg(
         F.count_distinct(F.col(id_col)).alias("_nd")
     )

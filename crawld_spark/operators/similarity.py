@@ -367,8 +367,22 @@ def srp_lsh_buckets(
     (zip_with/aggregate over literal sign arrays — no Python, no shuffle
     until the consumer groups by bucket)."""
     assert n_bits % band_size == 0
+    # staged projection (r6): quantize ONCE into an attribute — the inlined
+    # form re-ran the 64-element quantize transform inside every one of the
+    # n_bits interpreted dot products (HOFs are CodegenFallback, and lambda
+    # bodies re-evaluate per element)
+    qc = corpus.select(F.col(id_col), quantize(F.col(vec_col)).alias("_qv"))
+    bands = _srp_bands_expr(F.col("_qv"), dim, n_bits, band_size)
+    return qc.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+        id_col, F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def _srp_bands_expr(qv: Column, dim: int, n_bits: int, band_size: int) -> Column:
+    """Array of (band_id, band_key) structs for a quantized-vector COLUMN
+    (pass an attribute: lambda bodies re-evaluate referenced expressions
+    per element)."""
     signs = srp_sign_matrix(dim, n_bits)
-    qv = quantize(F.col(vec_col))
     bits = [
         F.when(
             dot_i(qv, F.array(*[F.lit(s) for s in signs[j]])) >= 0, F.lit(1)
@@ -376,7 +390,7 @@ def srp_lsh_buckets(
         for j in range(n_bits)
     ]
     n_bands = n_bits // band_size
-    bands = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
@@ -388,8 +402,86 @@ def srp_lsh_buckets(
             for b in range(n_bands)
         ]
     )
-    return corpus.select(F.col(id_col), F.explode(bands).alias("bk")).select(
-        id_col, F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key")
+
+
+def srp_topk_neardup(
+    corpus: DataFrame,
+    dim: int,
+    n_bits: int = 16,
+    band_size: int = 4,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Global top-k highest-cosine SRP-LSH candidate pairs — the srp_neardup
+    lane shape — WITHOUT materializing the candidate-pair set.
+
+    The r2-era plan generated all distinct bucket pairs (DISTINCT over a
+    quadratic row set), joined the quantized vectors back onto every pair
+    (two more shuffles of ~n²/2·dim rows), and globally sorted: 133 s at
+    sf1.0 and superlinear in corpus size (guide §2.3 — it shuffled heavy
+    payload per PAIR). Here each (band_id, band_key) bucket scores its own
+    pairs locally: vectors travel ONCE to their bucket's task, a vectorized
+    exact scorer (float64 BLAS matmul whose integer inputs are far below
+    2^53, so every product and 64-term sum is integer-exact — same IEEE
+    result as the JVM expression) emits only the bucket's local top-k, and
+    the global answer is the distinct top-k of ≤ n_buckets·k tiny rows.
+    A pair globally ranked ≤ k is ranked ≤ k inside every bucket containing
+    it (any bucket pair above it is also above it globally), so per-bucket
+    top-k loses nothing. Duplicate pairs across bands carry bit-identical
+    cosines; the consumer dedups with dropDuplicates and re-sorts.
+
+    Returns (v1, v2, cos double, full precision) — ≤ n_buckets·k rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qc = corpus.select(F.col(id_col), quantize(F.col(vec_col)).alias("_qv"))
+    bands = _srp_bands_expr(F.col("_qv"), dim, n_bits, band_size)
+    bucketed = qc.select(
+        F.col(id_col).alias("_id"), F.col("_qv"), F.explode(bands).alias("bk")
+    ).select("_id", "_qv", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"v1": pd.Series(dtype="int64"),
+                                 "v2": pd.Series(dtype="int64"),
+                                 "cos": pd.Series(dtype="float64")})
+        ids = pdf["_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        M = np.vstack([np.asarray(v, dtype=np.int64) for v in pdf["_qv"].to_numpy()[order]])
+        # float64 keeps every int exact while |q|² · dim < 2^53; the
+        # synthetic/unit-norm corpora quantize far below that bound, and the
+        # guard below falls back to exact int64 matmul otherwise
+        mx = float(np.abs(M).max()) if n else 0.0
+        exact_f64 = (mx * mx) * M.shape[1] < 2.0**53
+        Mf = M.astype(np.float64)
+        norms = (Mf * Mf).sum(axis=1) if exact_f64 else (M * M).sum(axis=1).astype(np.float64)
+        sq = np.sqrt(norms)
+        best: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        B = 2048
+        for i0 in range(0, n, B):
+            i1 = min(i0 + B, n)
+            dots = (Mf[i0:i1] @ Mf.T) if exact_f64 else (M[i0:i1] @ M.T).astype(np.float64)
+            cosb = dots / (sq[i0:i1, None] * sq[None, :])
+            ii, jj = np.nonzero(
+                np.arange(n)[None, :] > np.arange(i0, i1)[:, None]
+            )
+            v1b, v2b, cb = ids[ii + i0], ids[jj], cosb[ii, jj]
+            if len(cb) > k:
+                top = np.lexsort((v2b, v1b, -cb))[:k]
+                v1b, v2b, cb = v1b[top], v2b[top], cb[top]
+            best.append((v1b, v2b, cb))
+        v1 = np.concatenate([b[0] for b in best])
+        v2 = np.concatenate([b[1] for b in best])
+        cc = np.concatenate([b[2] for b in best])
+        top = np.lexsort((v2, v1, -cc))[:k]
+        return pd.DataFrame({"v1": v1[top], "v2": v2[top], "cos": cc[top]})
+
+    return bucketed.groupBy("band_id", "band_key").applyInPandas(
+        score, schema="v1 long, v2 long, cos double"
     )
 
 

@@ -465,14 +465,23 @@ def decontaminate(
     the only aggregation shuffle is on the (tiny) contaminated subset.
     Shingle identity travels as md5 (32 bytes), never raw text.
     """
-    from crawld_spark.operators.dedup import shingles
+    from crawld_spark.operators.dedup import norm_tokens, shingles_of_tokens
 
-    doc_sh = docs.select(
-        F.col(id_col),
-        F.explode(shingles(F.col(text_col), k)).alias("_sh"),
+    # staged projections (r6): tokenize once, shingle over the token
+    # ATTRIBUTE — expressions inside HOF lambdas re-evaluate per element, so
+    # the inline shingles(text) form re-ran the regex split per shingle
+    def _sh(df):
+        t1 = df.select(F.col(id_col), norm_tokens(F.col(text_col)).alias("_toks"))
+        return t1.select(
+            F.col(id_col), shingles_of_tokens(F.col("_toks"), k).alias("_shs")
+        )
+
+    doc_sh = _sh(docs).select(
+        id_col, F.explode(F.col("_shs")).alias("_sh")
     ).select(id_col, F.md5(F.col("_sh")).alias("_h"))
     bench_sh = (
-        benchmark.select(F.explode(shingles(F.col(text_col), k)).alias("_sh"))
+        _sh(benchmark)
+        .select(F.explode(F.col("_shs")).alias("_sh"))
         .select(F.md5(F.col("_sh")).alias("_h"))
         .distinct()
     )
@@ -602,7 +611,10 @@ def lm_bigram_scores(
     map-side. No window, no driver collect, text never shuffles (only
     bigram strings and longs travel).
     """
-    ex = bigram_rows(docs, id_col, text_col)
+    # three consumers (bigram counts, first-word counts, the scoring join):
+    # materialize the skinny (id, bigram) rows once instead of re-running
+    # tokenize+explode per consumer (r6; the neardup_mark discipline)
+    ex = bigram_rows(docs, id_col, text_col).localCheckpoint(eager=False)
     cb = ex.groupBy("bg").agg(F.count("*").alias("cb"))
     cw = (
         ex.select(F.split(F.col("bg"), " ")[0].alias("w1"))

@@ -38,6 +38,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Unsplittable-input repair for per-row-heavy lanes (guide §2.5, "one
+    huge unsplittable file → repartition immediately after the read"): the
+    testdata parquet files are written as a SINGLE row group, so a scan
+    yields one populated partition no matter how small maxPartitionBytes is,
+    and every downstream per-row computation runs on one core. Round-robin
+    repartition to the session's default parallelism — but ONLY when the
+    source has fewer partitions, so at production scale (many real splits)
+    this is a no-op and no payload shuffle is added. Measured (sf1.0,
+    local[32]): the minhash bucket pass drops 8.3 s → 2.7 s on top of the
+    staged-projection fix; the repartition itself moves ~6 MB once."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 _Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _SQL: dict[str, str] = {}
 
@@ -485,9 +503,11 @@ _DOCS_WITH_DUPS = """
 
 def _docs_with_dups(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", "text").unionByName(
-        d.where(F.col("doc_id") < 50).select(
-            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    return _spread(
+        d.select("doc_id", "text").unionByName(
+            d.where(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
         )
     )
 
@@ -781,24 +801,18 @@ def srp_neardup(spark, sf_dir):
     join → candidate pairs → exact integer cosine → global top-20. The
     banding path replaces the all-pairs scan at corpus scale (the MinHash
     analog for cosine space)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    buckets = similarity.srp_lsh_buckets(
-        emb, dim=_SRP_DIM, n_bits=_SRP_BITS, band_size=_SRP_BAND
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    local = similarity.srp_topk_neardup(
+        emb, dim=_SRP_DIM, n_bits=_SRP_BITS, band_size=_SRP_BAND, k=20
     )
-    pairs = similarity.srp_candidate_pairs(buckets)
-    a = emb.select(F.col("vec_id").alias("v1"), similarity.quantize("embedding").alias("qv1"))
-    b = emb.select(F.col("vec_id").alias("v2"), similarity.quantize("embedding").alias("qv2"))
-    cos = similarity.dot_i(F.col("qv1"), F.col("qv2")) / (
-        F.sqrt(similarity.norm2_i(F.col("qv1")).cast("double"))
-        * F.sqrt(similarity.norm2_i(F.col("qv2")).cast("double"))
-    )
+    # per-bucket top-20 provably contains the global distinct top-20 (see
+    # srp_topk_neardup); duplicate cross-band pairs carry identical exact
+    # cosines, so dropDuplicates + re-sort reproduces the r2 plan's answer
     return (
-        pairs.join(a, on="v1")
-        .join(b, on="v2")
-        .withColumn("_cos", cos)
-        .orderBy(F.desc("_cos"), F.asc("v1"), F.asc("v2"))
+        local.dropDuplicates(["v1", "v2"])
+        .orderBy(F.desc("cos"), F.asc("v1"), F.asc("v2"))
         .limit(20)
-        .select("v1", "v2", F.round("_cos", 6).alias("cos"))
+        .select("v1", "v2", F.round("cos", 6).alias("cos"))
     )
 
 
@@ -1318,7 +1332,7 @@ def stratified_sample(spark, sf_dir):
     """,
 )
 def decontaminate(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return textstats.decontaminate(
         docs, docs.where(F.col("doc_id") < 25), k=3
     )
@@ -1369,10 +1383,12 @@ def decontaminate_fuzzy(spark, sf_dir):
     recall companion to the exact k-gram pass (a perturbed copy of an eval
     doc keeps most bands while losing its exact shingles)."""
     docs = _t(spark, sf_dir, "documents")
-    corpus = docs.select("doc_id", "text").unionByName(
-        docs.where(F.col("doc_id") < 10).select(
-            (F.col("doc_id") + 200000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" znear tail words")).alias("text"),
+    corpus = _spread(
+        docs.select("doc_id", "text").unionByName(
+            docs.where(F.col("doc_id") < 10).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" znear tail words")).alias("text"),
+            )
         )
     )
     return textstats.decontaminate_fuzzy(
@@ -1626,13 +1642,15 @@ def dedup_paragraphs(spark, sf_dir):
     window formulation is semantically identical to the engine's
     skew-immune groupBy(min-struct)+join shape (see the operator
     docstring for why the engine never windows by chunk hash)."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat(
-            F.lit("promo "), F.col("source"),
-            F.lit(" official portal best content visit our site today "),
-            F.col("text"),
-        ).alias("text"),
+    docs = _spread(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat(
+                F.lit("promo "), F.col("source"),
+                F.lit(" official portal best content visit our site today "),
+                F.col("text"),
+            ).alias("text"),
+        )
     )
     return dedup.paragraph_dedup(docs, chunk_words=8)
 
@@ -1695,12 +1713,14 @@ def boilerplate_strip(spark, sf_dir):
         F.lit(".site"), (F.col("doc_id") % 11).cast("string"),
         F.lit(".example.com"),
     )
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        host.alias("host"),
-        F.concat(
-            F.lit("nav "), host, F.lit(f" {_NAV_WORDS} "), F.col("text")
-        ).alias("text"),
+    d = _spread(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            host.alias("host"),
+            F.concat(
+                F.lit("nav "), host, F.lit(f" {_NAV_WORDS} "), F.col("text")
+            ).alias("text"),
+        )
     )
     return dedup.boilerplate_strip(d, chunk_words=8)
 
@@ -1736,7 +1756,7 @@ def lm_familiarity(spark, sf_dir):
     integer-quantized at the bigram-type level so cross-engine sums are
     order-independent. The perplexity-bucket quality split standard in
     web-corpus curation, closed-world on the documents table."""
-    return textstats.lm_bigram_scores(_t(spark, sf_dir, "documents"))
+    return textstats.lm_bigram_scores(_spread(_t(spark, sf_dir, "documents")))
 
 
 # The corpus has no host column, so the lane synthesizes a 4-label host per
@@ -2554,7 +2574,7 @@ def perplexity_buckets(spark, sf_dir):
     per language — the standard perplexity-bucketed quality partition of a
     web corpus before LM training."""
     d = _t(spark, sf_dir, "documents")
-    scored = textstats.lm_bigram_scores(d).join(
+    scored = textstats.lm_bigram_scores(_spread(d)).join(
         d.select("doc_id", "lang"), "doc_id"
     )
     return textstats.perplexity_buckets(scored)

@@ -30,6 +30,18 @@ def get_spark(
         # delta anti-joins) don't need a sort: prefer shuffled-hash when the
         # build side fits (AQE still upgrades small sides to broadcast)
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # InferFiltersFromGenerate copies each explode's input expression
+        # into a `size(e) > 0` filter and pushes it to the scan — for our
+        # generated arrays (shingles, bigrams, chunk lists) that re-runs the
+        # whole tokenize+shingle pipeline once more per row (measured: the
+        # decontaminate lane spent >2× its wall in the inferred filter;
+        # sf1.0 28.8 s → 2.9 s with the rule off). Every explode in this
+        # engine feeds arrays that are ≥1 element by construction, so the
+        # inferred filter never removes a row — semantics unchanged.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
