@@ -109,12 +109,35 @@ def pq_train(
     qc = corpus.select(
         F.col(id_col).alias("_id"), quantize(vec_col).alias("qv")
     ).cache()
-    seeds = (
-        qc.select("qv", F.md5(F.col("_id").cast("string")).alias("_h"), "_id")
-        .orderBy(F.asc("_h"), F.asc("_id"))
-        .limit(ksub)
-        .collect()
-    )
+    ordered = qc.select(
+        "qv", F.md5(F.col("_id").cast("string")).alias("_h"), "_id"
+    ).orderBy(F.asc("_h"), F.asc("_id"))
+
+    if train_sample is not None:
+        # ONE collect serves seeding and training (the seeds are the first
+        # ksub rows of the same (md5(id), id) ordering the sample uses),
+        # and the per-subspace Lloyd updates run driver-side in numpy (r6)
+        # with the identical pure-int arithmetic (argmin of |c|²-2x·c,
+        # first-min index = lowest code, floor-mean updates in Python
+        # ints) — bit-identical codebooks (oracle-pinned) without n_iter
+        # rounds of Spark jobs + codegen compiles for a few-hundred-row
+        # training frame. Only pq_encode touches the full corpus.
+        rows = ordered.limit(train_sample).collect()
+        if len(rows) < ksub:
+            raise ValueError(f"corpus smaller than ksub={ksub}")
+        books = [
+            [[int(x) for x in rows[c]["qv"][s * dsub : (s + 1) * dsub]]
+             for c in range(ksub)]
+            for s in range(m)
+        ]
+        books = _pq_lloyd_driver(
+            [[int(x) for x in r["qv"]] for r in rows],
+            books, m, dsub, max(1, n_iter) - 1,
+        )
+        qc.unpersist()
+        return books
+
+    seeds = ordered.limit(ksub).collect()
     if len(seeds) < ksub:
         raise ValueError(f"corpus smaller than ksub={ksub}")
     books: list[Book] = [
@@ -123,30 +146,26 @@ def pq_train(
     ]
 
     train = qc
-    if train_sample is not None:
-        train = (
-            qc.select("_id", "qv", F.md5(F.col("_id").cast("string")).alias("_h"))
-            .orderBy(F.asc("_h"), F.asc("_id"))
-            .limit(train_sample)
-            .drop("_h")
-            .localCheckpoint(eager=True)  # bounded; reused every iteration
-        )
     # n_iter ASSIGNMENT passes with n_iter-1 codeword updates between them
     # (kmeans_assign's contract): the returned books are exactly the ones
     # the final assignment uses, so pq_encode reproduces that assignment —
     # and the DuckDB twin (queries._pq_ctes) scores a{n_iter} against
     # book{n_iter-1} verbatim.
     for _ in range(max(1, n_iter) - 1):
-        assigned = train.select(
+        # stage the m subvector slices once per row (r6): _code_expr
+        # references its subvector ksub times, and a slice re-evaluates per
+        # reference when inlined — over an attribute it is one array read
+        staged = train.select(
+            *[_sub(F.col("qv"), s, dsub).alias(f"_sv{s}") for s in range(m)]
+        )
+        assigned = staged.select(
             F.explode(
                 F.array(
                     *[
                         F.struct(
                             F.lit(s).alias("s"),
-                            _code_expr(_sub(F.col("qv"), s, dsub), books[s]).alias(
-                                "code"
-                            ),
-                            _sub(F.col("qv"), s, dsub).alias("sv"),
+                            _code_expr(F.col(f"_sv{s}"), books[s]).alias("code"),
+                            F.col(f"_sv{s}").alias("sv"),
                         )
                         for s in range(m)
                     ]
@@ -180,6 +199,38 @@ def pq_train(
     return books
 
 
+def _pq_lloyd_driver(
+    train: list[list[int]], books: list[Book], m: int, dsub: int, n_updates: int
+) -> list[Book]:
+    """Driver-side per-subspace Lloyd updates over a collected (bounded)
+    training set — pure-int arithmetic identical to the Spark form:
+    assignment by argmin of |c|² − 2·x·c with ties to the LOWEST code
+    (numpy's first-min index over code-ordered books), floor-mean updates
+    in Python ints, empty cells keep their codeword."""
+    import numpy as np
+
+    X = np.array(train, dtype=np.int64)
+    for _ in range(n_updates):
+        nb: list[Book] = []
+        for s in range(m):
+            Xs = X[:, s * dsub : (s + 1) * dsub]
+            C = np.array(books[s], dtype=np.int64)
+            cn = (C * C).sum(axis=1)
+            d = cn[None, :] - 2 * (Xs @ C.T)
+            code = np.argmin(d, axis=1)  # first min = lowest code
+            book: Book = []
+            for c in range(len(books[s])):
+                members = Xs[code == c]
+                if len(members):
+                    sm = members.sum(axis=0, dtype=np.int64)
+                    book.append([int(v) // len(members) for v in sm.tolist()])
+                else:
+                    book.append(books[s][c])
+            nb.append(book)
+        books = nb
+    return books
+
+
 def pq_encode(
     corpus: DataFrame,
     books: list[Book],
@@ -187,15 +238,25 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, vec) → (id, codes array<int> of length m). Exchange-free
-    projection; at rest the codes column is what a 100 TB corpus persists
-    (m small ints/row instead of the dim·4-byte vector)."""
+    STAGED projections (r6): quantize once, slice the m subvectors once,
+    then run each subspace's argmin over its subvector ATTRIBUTE —
+    higher-order functions evaluate interpreted and re-evaluate referenced
+    expressions per element, so the old single-projection form re-ran the
+    64-element quantize transform inside every one of the m·ksub candidate
+    dot products. Same codes bit-for-bit; at rest the codes column is what
+    a 100 TB corpus persists (m small ints/row instead of the dim·4-byte
+    vector)."""
     m = len(books)
     dsub = len(books[0][0])
-    qv = quantize(vec_col)
-    return corpus.select(
+    qc = corpus.select(F.col(id_col), quantize(vec_col).alias("_qv"))
+    sv = qc.select(
+        F.col(id_col),
+        *[_sub(F.col("_qv"), s, dsub).alias(f"_sv{s}") for s in range(m)],
+    )
+    return sv.select(
         F.col(id_col),
         F.array(
-            *[_code_expr(_sub(qv, s, dsub), books[s]) for s in range(m)]
+            *[_code_expr(F.col(f"_sv{s}"), books[s]) for s in range(m)]
         ).alias("codes"),
     )
 

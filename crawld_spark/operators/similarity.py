@@ -145,6 +145,12 @@ def ivf_topk(
 # k-expanded frame; VERDICT r3 "What's wrong #1").
 LITERAL_ARGMAX_MAX_K = 64
 
+# Full-corpus (train_sample=None) k-means training collects the quantized
+# corpus to the driver and runs the Lloyd loop in numpy when the corpus has
+# at most this many rows (~64 MB of int64 at dim 64) — identical arithmetic,
+# no per-iteration Spark jobs. Larger corpora use the distributed loop.
+DRIVER_TRAIN_MAX_ROWS = 131072
+
 
 def _cell_score(dot: Column, norm2_c) -> Column:
     """score = dot(q, c) / |c| — the |q| denominator is constant per row and
@@ -159,6 +165,40 @@ def _cell_score(dot: Column, norm2_c) -> Column:
         F.sqrt(norm2_c.cast("double"))
     )
     return dot / den
+
+
+def _lloyd_driver(
+    train: list[list[int]],
+    cents: list[tuple[int, list[int]]],
+    n_updates: int,
+) -> list[tuple[int, list[int]]]:
+    """Driver-side Lloyd updates over a collected (bounded) training set —
+    arithmetic identical to the Spark form: score = exact-int dot / |c|
+    (one IEEE float64 division, |c| from math.sqrt exactly as
+    _cell_score's literal path), argmax ties to the LOWEST label (numpy's
+    first-max index over label-ordered centroids), floor-mean updates in
+    Python ints, empty cells keep their centroid."""
+    import math
+
+    import numpy as np
+
+    X = np.array(train, dtype=np.int64)
+    Xf = X.astype(np.float64)  # exact: quantized values ≪ 2^26
+    for _ in range(n_updates):
+        C = np.array([v for _, v in cents], dtype=np.int64)
+        dens = np.array(
+            [math.sqrt(float(sum(x * x for x in v))) or 1.0 for _, v in cents]
+        )
+        scores = (Xf @ C.T.astype(np.float64)) / dens[None, :]
+        lab = np.argmax(scores, axis=1)  # first max = lowest label
+        new: dict[int, list[int]] = {}
+        for c in range(len(cents)):
+            members = X[lab == c]
+            if len(members):
+                s = members.sum(axis=0, dtype=np.int64)
+                new[c] = [int(sv) // len(members) for sv in s.tolist()]
+        cents = [(c, new.get(c, v)) for c, v in cents]
+    return cents
 
 
 def nearest_cell_label(cents: list[tuple[int, list[int]]]) -> Column:
@@ -251,51 +291,70 @@ def kmeans_assign(
     if train_sample is not None and train_sample < k:
         raise ValueError(f"train_sample={train_sample} < k={k}")
     qc = corpus.select(F.col(id_col), quantize(vec_col).alias("qv")).cache()
-    seeds = (
-        qc.select("qv", F.md5(F.col(id_col).cast("string")).alias("_h"), F.col(id_col))
-        .orderBy(F.asc("_h"), F.asc(id_col))
-        .limit(k)
-        .collect()
-    )
-    cents: list[tuple[int, list[int]]] = [
-        (i, [int(x) for x in r["qv"]]) for i, r in enumerate(seeds)
-    ]
-
-    train = qc
+    ordered = qc.select(
+        "qv", F.md5(F.col(id_col).cast("string")).alias("_h"), F.col(id_col)
+    ).orderBy(F.asc("_h"), F.asc(id_col))
     if train_sample is not None:
-        train = (
-            qc.select(
-                F.col(id_col), "qv", F.md5(F.col(id_col).cast("string")).alias("_h")
-            )
-            .orderBy(F.asc("_h"), F.asc(id_col))
-            .limit(train_sample)
-            .drop("_h")
-            .localCheckpoint(eager=True)  # bounded; reused every iteration
+        # ONE collect serves both seeding and training: the k seeds are the
+        # first k rows of the SAME (md5(id), id) ordering the sample uses
+        # (a prefix — seeding unchanged), and the Lloyd updates then run
+        # driver-side in numpy (r6): exact same arithmetic — int64 dot
+        # products are exact in the float64 matmul far below 2^53, the
+        # score division and tie-break (first argmax index = lowest label)
+        # are the identical IEEE ops, and the floor-mean update runs in
+        # Python ints — so the centroids are bit-identical to the old
+        # per-iteration Spark jobs (oracle-pinned), without n_iter driver
+        # round-trips, codegen compiles and shuffles for a few-hundred-row
+        # training frame. The full corpus is only touched by the single
+        # final assignment below.
+        rows = ordered.limit(train_sample).collect()
+        cents = [(i, [int(x) for x in rows[i]["qv"]]) for i in range(k)]
+        cents = _lloyd_driver(
+            [[int(x) for x in r["qv"]] for r in rows], cents, max(1, n_iter) - 1
         )
-    # n_iter assignment passes with n_iter-1 centroid updates between them:
-    # the loop runs the updates over the training frame, the final pass
-    # assigns the full corpus with the resulting centroids (identical to
-    # the historical assign-then-update loop when train == qc)
-    for _ in range(max(1, n_iter) - 1):
-        a = assign_nearest(train, cents, id_col)
-        stats = (
-            a.select("label", F.posexplode("qv").alias("pos", "v"))
-            .groupBy("label", "pos")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
-            .groupBy("label")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"),
-                F.first("n").alias("n"),  # identical across pos (cell size)
-            )
-            .collect()
+    elif qc.count() <= DRIVER_TRAIN_MAX_ROWS:
+        # full-corpus training (the unsampled oracle-replay mode) over a
+        # SMALL corpus: one collect, seeds from the same (md5(id), id)
+        # ordering computed in Python (identical md5-of-decimal-string),
+        # then driver-side Lloyd — assignment is per-row and the centroid
+        # update is an integer sum, so row order cannot change the result
+        # (bit-identical to the per-iteration Spark jobs). The count also
+        # populates the qc cache the final assignment reuses. Beyond the
+        # bound, the distributed loop below is the scale path.
+        import hashlib
+
+        rows = qc.collect()
+        rows.sort(key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+        cents = [(i, [int(x) for x in rows[i]["qv"]]) for i in range(k)]
+        cents = _lloyd_driver(
+            [[int(x) for x in r["qv"]] for r in rows], cents, max(1, n_iter) - 1
         )
-        # floor-mean centroid, exact Python int floor division (// floors
-        # toward -inf — mirrored by the oracle's (s - ((s%n+n)%n)) // n)
-        new = {
-            int(r["label"]): [int(p["s"]) // int(r["n"]) for p in r["ps"]]
-            for r in stats
-        }
-        cents = [(c, new.get(c, v)) for c, v in cents]  # empty cell keeps centroid
+    else:
+        seeds = ordered.limit(k).collect()
+        cents = [(i, [int(x) for x in r["qv"]]) for i, r in enumerate(seeds)]
+        # n_iter assignment passes with n_iter-1 centroid updates between
+        # them: the loop runs the updates over the full corpus, the final
+        # pass assigns with the resulting centroids
+        for _ in range(max(1, n_iter) - 1):
+            a = assign_nearest(qc, cents, id_col)
+            stats = (
+                a.select("label", F.posexplode("qv").alias("pos", "v"))
+                .groupBy("label", "pos")
+                .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+                .groupBy("label")
+                .agg(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"),
+                    F.first("n").alias("n"),  # identical across pos (cell size)
+                )
+                .collect()
+            )
+            # floor-mean centroid, exact Python int floor division (// floors
+            # toward -inf — mirrored by the oracle's (s - ((s%n+n)%n)) // n)
+            new = {
+                int(r["label"]): [int(p["s"]) // int(r["n"]) for p in r["ps"]]
+                for r in stats
+            }
+            cents = [(c, new.get(c, v)) for c, v in cents]  # empty keeps centroid
     assign = assign_nearest(qc, cents, id_col)
     # materialize the final assignment (small: id + label), then release the
     # quantized cache — the returned plan must not depend on freed blocks
@@ -541,18 +600,43 @@ def semantic_dedup(
     qd = labeled.select(
         F.col(id_col), F.col("label"), quantize(F.col(vec_col)).alias("qv")
     )
-    a, b = qd.alias("a"), qd.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .where(cosine_sim(F.col("a.qv"), F.col("b.qv")) >= tau)
-        .select(
-            F.col(f"a.{id_col}").alias("x"), F.col(f"b.{id_col}").alias("y")
-        )
-    )
+    # within-cell pair scan (r6): score each cell's pairs locally with the
+    # exact vectorized scorer instead of a self-join evaluating the 64-dim
+    # interpreted cosine per pair — same float64 IEEE ops (integer inputs
+    # far below 2^53 are exact in the BLAS matmul), so the ≥ tau edge set
+    # is bit-identical; vectors travel once to their cell's task
+    import numpy as np
+    import pandas as pd
+
+    def edges(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"x": pd.Series(dtype="int64"),
+                                 "y": pd.Series(dtype="int64")})
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        M = np.vstack([np.asarray(v, dtype=np.int64) for v in pdf["qv"].to_numpy()[order]])
+        mx = float(np.abs(M).max()) if n else 0.0
+        exact_f64 = (mx * mx) * M.shape[1] < 2.0**53
+        Mf = M.astype(np.float64)
+        norms = (Mf * Mf).sum(axis=1) if exact_f64 else (M * M).sum(axis=1).astype(np.float64)
+        sq = np.sqrt(norms)
+        xs: list[np.ndarray] = []
+        ys: list[np.ndarray] = []
+        B = 2048
+        for i0 in range(0, n, B):
+            i1 = min(i0 + B, n)
+            dots = (Mf[i0:i1] @ Mf.T) if exact_f64 else (M[i0:i1] @ M.T).astype(np.float64)
+            cosb = dots / (sq[i0:i1, None] * sq[None, :])
+            ii, jj = np.nonzero(
+                (np.arange(n)[None, :] > np.arange(i0, i1)[:, None]) & (cosb >= tau)
+            )
+            xs.append(ids[ii + i0])
+            ys.append(ids[jj])
+        return pd.DataFrame({"x": np.concatenate(xs), "y": np.concatenate(ys)})
+
+    pairs = qd.groupBy("label").applyInPandas(edges, schema="x long, y long")
     touched = (
         pairs.select(F.col("x").alias(id_col))
         .unionAll(pairs.select(F.col("y").alias(id_col)))

