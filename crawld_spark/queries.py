@@ -4372,11 +4372,37 @@ _R5_FRONT = [
 ]
 
 
+# r6 rotation (VERDICT r5 item 2 + this round's optimization diff): the
+# driver's 50 correctness slots go to (a) the 40 lanes whose latest driver
+# row is r4 — every lane then has a row ≤ 2 rounds old — and (b) the lanes
+# this optimization round restructured whose latest row is r5 (the codec
+# lanes, the PQ family, perplexity_buckets, tfidf_top_terms), so every
+# changed plan earns a fresh driver row this round.
+_R6_FRONT = [
+    # changed this round, latest row r5
+    "jpeg_decode_roundtrip", "frame_sample", "multimodal_decode_roundtrip",
+    "png_decode_roundtrip", "payload_type_stats", "perplexity_buckets",
+    "ann_ivf_pq", "ann_pq_adc", "ann_pq_rerank", "tfidf_top_terms",
+    # latest driver row r4 (40)
+    "scalar_funcs", "error_taxonomy", "two_phase_lang_filter",
+    "round_metrics", "events_windowed_agg", "fetch_order",
+    "politeness_window", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_neardup_mark", "dedup_clusters", "dedup_simhash",
+    "dedup_simhash_bands", "ngram_jaccard", "embedding_neardup",
+    "srp_neardup", "ann_brute_topk", "ann_ivf_topk", "ann_ivf_kmeans",
+    "semantic_dedup", "lang_id", "quality_score", "token_counts",
+    "token_counts_bpe", "fingerprint", "stratified_sample", "decontaminate",
+    "decontaminate_fuzzy", "curation_pipeline", "quality_rules", "pii_scrub",
+    "dedup_paragraphs", "boilerplate_strip", "lm_familiarity",
+    "host_blocklist", "dedup_spans", "quality_classifier",
+    "recrawl_priority", "pagerank", "sequence_packing",
+]
+
+
 def _rotated(d: dict) -> dict:
-    front = [k for k in _R5_FRONT if k in d]
-    new = [k for k in d if k not in _R5_FRONT and k not in _R4_COVERED]
-    rest = [k for k in d if k in _R4_COVERED]
-    return {k: d[k] for k in front + new + rest}
+    front = [k for k in _R6_FRONT if k in d]
+    rest = [k for k in d if k not in _R6_FRONT]
+    return {k: d[k] for k in front + rest}
 
 
 # the 50 lanes with a green CORRECTNESS_r04 row (registration order r4)
