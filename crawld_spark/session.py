@@ -60,4 +60,49 @@ def get_spark(
     from crawld_spark.shiplib import ensure_shipped
 
     ensure_shipped(spark)
+    if os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0" and not getattr(
+        spark, "_crawld_warmed", False
+    ):
+        _warm_session(spark)
+        spark._crawld_warmed = True
     return spark
+
+
+def _warm_session(spark: SparkSession) -> None:
+    """One-time JVM/worker warmup on synthetic data (no input tables, no
+    cached results): exercises whole-stage codegen, the shuffle machinery,
+    the parquet writer+reader, and spawns the Python workers with a tiny
+    pandas UDF across every core. Without it all of that lazy
+    initialization lands on whichever real query runs first (~5-6 s on the
+    first lane of a fresh session, measured at sf1.0). Disable with
+    SPARK_GRAFT_WARMUP=0."""
+    import shutil
+    import tempfile
+
+    import pandas as pd  # noqa: F401 — annotation namespace for the UDF
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    n = spark.sparkContext.defaultParallelism
+
+    def _echo_fn(s):
+        return s
+
+    _echo_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _echo = F.pandas_udf(_echo_fn, LongType())
+
+    df = spark.range(0, 1000 * n, numPartitions=n)
+    (
+        df.select(
+            F.md5(F.col("id").cast("string")).alias("h"), _echo("id").alias("e")
+        )
+        .groupBy(F.substring("h", 1, 1))
+        .count()
+        .count()
+    )
+    d = tempfile.mkdtemp(prefix="spark_warm_")
+    try:
+        df.limit(64).write.mode("overwrite").parquet(os.path.join(d, "p"))
+        spark.read.parquet(os.path.join(d, "p")).count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
