@@ -174,6 +174,8 @@ def neardup_mark(
     joins on the same key — at 100 TB that table is the persisted LSH
     index, bucket-partitioned, so the probe is partition-prunable.
     """
+    from crawld_spark.operators.ckpt import ckpt_lazy
+
     bands = minhash_lsh_buckets(
         docs, n_hashes, band_size, shingle_k, id_col, text_col
     )
@@ -181,7 +183,7 @@ def neardup_mark(
     # and the signature subplan is expensive (n_bands text scans × seeded
     # md5 mins) — a lazy localCheckpoint materializes the (band, id) rows
     # once, digests + ids only, halving the lane wall (13.6 → ~8 s at sf0.1)
-    bands = bands.localCheckpoint(eager=False)
+    bands = ckpt_lazy(bands)
     mins = bands.groupBy("band_id", "band_key").agg(
         F.min(id_col).alias("_min_id")
     )
@@ -255,7 +257,11 @@ def connected_components(
         out_rows = [(n, find(n)) for n in parent]
         release_df(ed)
         spark = edges.sparkSession
-        return spark.createDataFrame(out_rows, "node long, component long")
+        from crawld_spark.session import local_df
+
+        return local_df(
+            spark, out_rows, "node long, component long", ["node", "component"]
+        )
     sym = (
         ed.unionByName(ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
@@ -311,7 +317,9 @@ def dedup_clusters(
     # two consumers (roots agg + member join): materialize the (band, id)
     # rows once — digests + ids only — instead of re-running the signature
     # pass per consumer (the neardup_mark discipline; r6)
-    buckets = buckets.localCheckpoint(eager=False)
+    from crawld_spark.operators.ckpt import ckpt_lazy
+
+    buckets = ckpt_lazy(buckets)
     roots = buckets.groupBy("band_id", "band_key").agg(F.min(id_col).alias("_root"))
     edges = (
         buckets.join(roots, on=["band_id", "band_key"])
@@ -622,9 +630,13 @@ def paragraph_dedup(
     """
     # two consumers (keep-first agg + join-back): materialize the chunk
     # rows once — digests + positions + chunk text (r6)
-    ch = paragraph_chunks(docs, id_col, text_col, chunk_words).withColumn(
-        "h", F.md5("chunk")
-    ).localCheckpoint(eager=False)
+    from crawld_spark.operators.ckpt import ckpt_lazy
+
+    ch = ckpt_lazy(
+        paragraph_chunks(docs, id_col, text_col, chunk_words).withColumn(
+            "h", F.md5("chunk")
+        )
+    )
     first = ch.groupBy("h").agg(
         F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("f")
     )
@@ -686,9 +698,13 @@ def boilerplate_strip(
     reassembly groups by doc id (document-size-bounded).
     """
     # two consumers (host-frequency agg + marking join): materialize once (r6)
-    ch = paragraph_chunks(
-        docs, id_col, text_col, chunk_words, carry_cols=[host_col]
-    ).withColumn("h", F.md5("chunk")).localCheckpoint(eager=False)
+    from crawld_spark.operators.ckpt import ckpt_lazy
+
+    ch = ckpt_lazy(
+        paragraph_chunks(
+            docs, id_col, text_col, chunk_words, carry_cols=[host_col]
+        ).withColumn("h", F.md5("chunk"))
+    )
     nd = ch.groupBy(host_col, "h").agg(
         F.count_distinct(F.col(id_col)).alias("_nd")
     )

@@ -358,7 +358,10 @@ def kmeans_assign(
     assign = assign_nearest(qc, cents, id_col)
     # materialize the final assignment (small: id + label), then release the
     # quantized cache — the returned plan must not depend on freed blocks
+    from crawld_spark.operators.ckpt import ckpt_register
+
     final = assign.select(id_col, "label").localCheckpoint(eager=True)
+    ckpt_register(final)
     qc.unpersist()
     return corpus.join(final, on=id_col)
 

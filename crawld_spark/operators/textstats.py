@@ -624,7 +624,9 @@ def lm_bigram_scores(
     # three consumers (bigram counts, first-word counts, the scoring join):
     # materialize the skinny (id, bigram) rows once instead of re-running
     # tokenize+explode per consumer (r6; the neardup_mark discipline)
-    ex = bigram_rows(docs, id_col, text_col).localCheckpoint(eager=False)
+    from crawld_spark.operators.ckpt import ckpt_lazy
+
+    ex = ckpt_lazy(bigram_rows(docs, id_col, text_col))
     cb = ex.groupBy("bg").agg(F.count("*").alias("cb"))
     cw = (
         ex.select(F.split(F.col("bg"), " ")[0].alias("w1"))

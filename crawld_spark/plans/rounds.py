@@ -559,8 +559,11 @@ class CrawlEngine:
                 prior_map = self._fetched_lang_counts()
                 prior_rows = [(l, int(n)) for l, n in prior_map.items()]
                 if prior_rows:
-                    prior = spark.createDataFrame(
-                        prior_rows, "lang string, _prior long"
+                    from crawld_spark.session import local_df
+
+                    prior = local_df(
+                        spark, prior_rows, "lang string, _prior long",
+                        ["lang", "_prior"],
                     )
                     got = got.join(F.broadcast(prior), on="lang", how="left")
                 else:
@@ -792,8 +795,11 @@ class CrawlEngine:
             .select([f.name for f in ROUNDS_SCHEMA.fields])
         )
         if denied_cnt:
-            denied_row = spark.createDataFrame(
-                [(round_id, -1, 0, 0, 0, 0, denied_cnt, 0, 0)], ROUNDS_SCHEMA
+            from crawld_spark.session import local_df
+
+            denied_row = local_df(
+                spark, [(round_id, -1, 0, 0, 0, 0, denied_cnt, 0, 0)],
+                ROUNDS_SCHEMA, [f.name for f in ROUNDS_SCHEMA.fields],
             )
             lineage = lineage.unionByName(denied_row)
 

@@ -541,7 +541,9 @@ def _docs_with_dups(spark, sf_dir, spread: bool = True):
     """,
 )
 def dedup_exact(spark, sf_dir):
-    out = dedup.exact_dedup(_docs_with_dups(spark, sf_dir))
+    # no _spread: one digest groupBy with map-side partial aggregation —
+    # the repartition would be a second, pure-overhead shuffle
+    out = dedup.exact_dedup(_docs_with_dups(spark, sf_dir, spread=False))
     return out.select("digest", "keeper_id", "n_copies")
 
 
@@ -1532,7 +1534,9 @@ def curation_pipeline(spark, sf_dir):
     # exceeds the JIT method-size limit (interpreted bytecode — measured
     # 10 s for the filter alone at sf1.0 vs ~1 s for the projection); after
     # the barrier the filter tests two attributes (r6)
-    scored = scored.localCheckpoint(eager=False)
+    from crawld_spark.operators.ckpt import ckpt_lazy
+
+    scored = ckpt_lazy(scored)
     kept = scored.where(
         (F.col("lang_guess") != "unknown") & (F.col("quality") >= 0.95)
     )
@@ -1542,10 +1546,10 @@ def curation_pipeline(spark, sf_dir):
         )
         .where(F.col("doc_id") == F.col("_keeper"))
         .drop("_keeper")
-        # three consumers (decontaminate shingles, the anti-join, the
-        # sample): materialize the gated+deduped frame once (r6)
-        .localCheckpoint(eager=False)
     )
+    # three consumers (decontaminate shingles, the anti-join, the sample):
+    # materialize the gated+deduped frame once (r6)
+    uniq = ckpt_lazy(uniq)
     bench = d.where(F.col("doc_id") < 25)
     cont = textstats.decontaminate(uniq, bench, k=3).select("doc_id")
     clean = uniq.join(F.broadcast(cont), on="doc_id", how="left_anti")
@@ -1827,7 +1831,9 @@ def host_blocklist(spark, sf_dir):
             F.lit(".example.com"),
         ).alias("host"),
     )
-    bl = spark.createDataFrame([(e,) for e in _BLOCKLIST], "entry string")
+    from crawld_spark.session import local_df
+
+    bl = local_df(spark, [(e,) for e in _BLOCKLIST], "entry string", ["entry"])
     return urlfilter.blocklist_mark(d, bl, max_labels=4).select(
         "doc_id", "host", "blocked"
     )
@@ -3696,9 +3702,12 @@ def robots_audit(spark, sf_dir):
             lines.extend(["", "User-agent: crawld", "Disallow: /"])
         return "\n".join(lines)
 
-    rb = spark.createDataFrame(
+    from crawld_spark.session import local_df
+
+    rb = local_df(
+        spark,
         [(f"site{h}.example.com", body_of(h)) for h in range(11)],
-        "host string, body string",
+        "host string, body string", ["host", "body"],
     )
     rules = robots_table(rb, agent="crawld-spark/1.0")
     u = _t(spark, sf_dir, "documents").select(
@@ -3783,9 +3792,12 @@ def robots_rfc_audit(spark, sf_dir):
             ]
         return "\n".join(lines)
 
-    rb = spark.createDataFrame(
+    from crawld_spark.session import local_df
+
+    rb = local_df(
+        spark,
         [(f"rfc{h}.example.com", body_of(h)) for h in range(12)],
-        "host string, body string",
+        "host string, body string", ["host", "body"],
     )
     rules = robots_rfc_table(rb, agent="crawld-spark/1.0")
     u = _t(spark, sf_dir, "documents").select(
@@ -4446,8 +4458,23 @@ _R4_COVERED = frozenset({
 })
 
 
+def _flushing(fn: Callable[[SparkSession, str], DataFrame]):
+    """Release the PREVIOUS lane's registered localCheckpoint blocks before
+    building this lane's plan — a full 80-lane sweep otherwise accumulates
+    every lane's materialized blocks in executor storage (measured as a
+    broad in-suite slowdown of later lanes; see operators/ckpt.py)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from crawld_spark.operators.ckpt import flush_released
+
+        flush_released()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _rotated(_Q)
+    return {name: _flushing(fn) for name, fn in _rotated(_Q).items()}
 
 
 def oracle_sql() -> dict[str, str]:

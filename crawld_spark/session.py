@@ -68,6 +68,25 @@ def get_spark(
     return spark
 
 
+def local_df(spark: SparkSession, rows, schema, columns) -> "DataFrame":
+    """Small driver-local row list → DataFrame via pandas + Arrow.
+
+    The plain ``createDataFrame(list, schema)`` path parallelizes the rows
+    through a Python RDD: every call forks ``defaultParallelism`` Python
+    workers (measured: +32 resident workers per such lane, a fork storm
+    that dominates small-lane wall under system load and leaks idle
+    workers). The pandas + Arrow path builds the rows JVM-side with no
+    Python workers at all. ``columns`` names the row fields for pandas;
+    ``schema`` (DDL string or StructType) stays authoritative for types.
+    """
+    if not rows:
+        return spark.createDataFrame([], schema)
+    import pandas as pd
+
+    pdf = pd.DataFrame([tuple(r) for r in rows], columns=list(columns), dtype=object)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def _warm_session(spark: SparkSession) -> None:
     """One-time JVM/worker warmup on synthetic data (no input tables, no
     cached results): exercises whole-stage codegen, the shuffle machinery,
@@ -99,6 +118,20 @@ def _warm_session(spark: SparkSession) -> None:
         .groupBy(F.substring("h", 1, 1))
         .count()
         .count()
+    )
+
+    # chained double-Python-eval pass: a task whose plan pipelines two
+    # Python stages (mapInPandas feeding a pandas UDF — the multimodal
+    # decode-roundtrip shape) holds TWO workers at once, so the first such
+    # real query otherwise forks a second full worker set mid-benchmark
+    def _ident(it):
+        yield from it
+
+    (
+        df.mapInPandas(_ident, "id long")
+        .select(_echo("id").alias("e"))
+        .agg(F.count("e"))
+        .collect()
     )
     d = tempfile.mkdtemp(prefix="spark_warm_")
     try:

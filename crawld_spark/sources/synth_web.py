@@ -152,7 +152,9 @@ def generate_seeds(spark: SparkSession, n_pages: int, n_hosts: int = 16,
     rng = np.random.Generator(np.random.PCG64(seed))
     ids = sorted(int(x) for x in rng.choice(n_pages, size=min(n_seeds, n_pages), replace=False))
     rows = [(page_url(i, n_hosts), float(100 - rank)) for rank, i in enumerate(ids)]
-    return spark.createDataFrame(rows, SEEDS_SCHEMA)
+    from crawld_spark.session import local_df
+
+    return local_df(spark, rows, SEEDS_SCHEMA, [f.name for f in SEEDS_SCHEMA.fields])
 
 
 def generate_robots(spark: SparkSession, n_hosts: int = 16, seed: int = 42,
@@ -165,7 +167,9 @@ def generate_robots(spark: SparkSession, n_hosts: int = 16, seed: int = 42,
         disallow = ["/p/1"] if k % 5 == 3 else []
         delay = default_delay * (1 + (k % 3))
         rows.append((host, disallow, float(delay)))
-    return spark.createDataFrame(rows, ROBOTS_SCHEMA)
+    from crawld_spark.session import local_df
+
+    return local_df(spark, rows, ROBOTS_SCHEMA, [f.name for f in ROBOTS_SCHEMA.fields])
 
 
 def seeds_py(n_pages: int, n_hosts: int = 16, n_seeds: int = 8, seed: int = 42) -> list[tuple[str, float]]:
