@@ -32,6 +32,48 @@ from pyspark.sql import DataFrame, functions as F
 SCALE = 1_000_000  # rank 1.0 in micro-units
 DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85, exact rational
 
+# graphs with at most this many edges replay the fixed-iteration integer
+# PageRank driver-side (~32 MB of pairs collected; see pagerank docstring)
+DRIVER_PR_MAX_EDGES = 2_000_000
+
+
+def _pagerank_driver(e, n_iter: int):
+    """Driver-side replay of the integer PageRank loop over a collected
+    (bounded) edge list — bit-identical arithmetic: int64 shares via floor
+    division, absorbing sinks, 0.15·SCALE + (85·in_sum) div 100 updates.
+    Returns the (node, rank_q, out_deg) frame via the Arrow local-table
+    path (no Python-RDD workers)."""
+    import numpy as np
+    import pandas as pd
+
+    from crawld_spark.session import local_df
+
+    rows = e.collect()
+    src = pd.Series([r[0] for r in rows])
+    dst = pd.Series([r[1] for r in rows])
+    codes, uniques = pd.factorize(pd.concat([src, dst], ignore_index=True))
+    m = len(rows)
+    si, di = codes[:m].astype(np.int64), codes[m:].astype(np.int64)
+    n = len(uniques)
+    out_deg = np.zeros(n, dtype=np.int64)
+    np.add.at(out_deg, si, 1)
+    rank = np.full(n, SCALE, dtype=np.int64)
+    floor_base = (SCALE * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
+    for _ in range(max(1, n_iter)):
+        share = np.zeros(n, dtype=np.int64)
+        nz = out_deg > 0
+        share[nz] = rank[nz] // out_deg[nz]  # nonneg: // == div
+        in_sum = np.zeros(n, dtype=np.int64)
+        np.add.at(in_sum, di, share[si])
+        rank = floor_base + (in_sum * DAMP_NUM) // DAMP_DEN
+    out_rows = list(zip(uniques.tolist(), rank.tolist(), out_deg.tolist()))
+    key_t = e.schema["src"].dataType.simpleString()
+    return local_df(
+        e.sparkSession, out_rows,
+        f"node {key_t}, rank_q long, out_deg long",
+        ["node", "rank_q", "out_deg"],
+    )
+
 
 def anchor_text_agg(
     pages: DataFrame,  # id_col + html_col (binary)
@@ -105,6 +147,22 @@ def pagerank(
         F.col(src_col).cast(key_type).alias("src"),
         F.col(dst_col).cast(key_type).alias("dst"),
     )
+    if checkpoint:
+        # bounded graphs solve driver-side (r6): the update is pure int64
+        # arithmetic (share = rank_q div out_deg, landing at
+        # 0.15·SCALE + (85·in_sum) div 100), so a numpy replay is
+        # bit-identical to the iterative join loop — without n_iter rounds
+        # of 2 joins + an eager checkpoint each, which were pure fixed
+        # cost at mid-scale (measured 3.2 s for a 100k-edge graph at
+        # sf1.0, ~1 s driver-side). checkpoint=False (the plan-test mode)
+        # and larger graphs keep the distributed loop.
+        e = e.localCheckpoint(eager=True)
+        if e.count() <= DRIVER_PR_MAX_EDGES:
+            from crawld_spark.operators.seen import release_df
+
+            out = _pagerank_driver(e, n_iter)
+            release_df(e)
+            return out
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
@@ -146,6 +204,44 @@ def pagerank(
         if checkpoint:
             rank = rank.localCheckpoint(eager=True)
     return rank.join(base, "node").select("node", "rank_q", "out_deg")
+
+
+def _hits_driver(e, n_iter: int):
+    """Driver-side replay of the integer HITS loop over a collected
+    (bounded) edge list — bit-identical: int64 sums across edges, rescale
+    q = raw div (max(raw) div SCALE + 1) applied to EVERY node (absent
+    raw = 0), auth-then-hub half-steps."""
+    import numpy as np
+    import pandas as pd
+
+    from crawld_spark.session import local_df
+
+    rows = e.collect()
+    src = pd.Series([r[0] for r in rows])
+    dst = pd.Series([r[1] for r in rows])
+    codes, uniques = pd.factorize(pd.concat([src, dst], ignore_index=True))
+    m = len(rows)
+    si, di = codes[:m].astype(np.int64), codes[m:].astype(np.int64)
+    n = len(uniques)
+
+    def half(score, from_idx, to_idx):
+        raw = np.zeros(n, dtype=np.int64)
+        np.add.at(raw, to_idx, score[from_idx])
+        rmax = int(raw.max()) if n else 0
+        return raw // (rmax // SCALE + 1)
+
+    hub = np.full(n, SCALE, dtype=np.int64)
+    auth = np.zeros(n, dtype=np.int64)
+    for _ in range(max(1, n_iter)):
+        auth = half(hub, si, di)
+        hub = half(auth, di, si)
+    out_rows = list(zip(uniques.tolist(), hub.tolist(), auth.tolist()))
+    key_t = e.schema["src"].dataType.simpleString()
+    return local_df(
+        e.sparkSession, out_rows,
+        f"node {key_t}, hub_q long, auth_q long",
+        ["node", "hub_q", "auth_q"],
+    )
 
 
 def hits(
@@ -190,6 +286,16 @@ def hits(
         F.col(src_col).cast(key_type).alias("src"),
         F.col(dst_col).cast(key_type).alias("dst"),
     )
+    if checkpoint:
+        # bounded graphs replay driver-side — same rationale and bound as
+        # pagerank above (pure int64 half-steps, max-bounded rescale)
+        e = e.localCheckpoint(eager=True)
+        if e.count() <= DRIVER_PR_MAX_EDGES:
+            from crawld_spark.operators.seen import release_df
+
+            out = _hits_driver(e, n_iter)
+            release_df(e)
+            return out
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))

@@ -2201,7 +2201,7 @@ def tfidf_top_terms(spark, sf_dir):
     level (floor(ln(N/df)*1e6), the lm_familiarity trick) so scores and
     ranks are integer-exact across engines; ties break on the term."""
     return textstats.tfidf_top_terms(
-        _t(spark, sf_dir, "documents"), k=3
+        _spread(_t(spark, sf_dir, "documents")), k=3
     )
 
 
