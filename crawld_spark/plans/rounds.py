@@ -306,39 +306,73 @@ class CrawlEngine:
         crawld.go:275's iteration order): the crawl's own observations,
         not the seed list, drive what gets fetched next.
 
-        Scale shape: edges/anchors shuffle (url, long) pairs only —
-        HTML never leaves its executor (anchor parse is the one Arrow
-        hop); PageRank is signal_pr_iters bounded-lineage joins; the
-        final composition is two url-keyed outer joins of agg-collapsed
-        frames, each ≪ the frontier.
+        Scale shape (r6 — VERDICT r5 item 1): the SMALL columns are
+        derived per fetched row BEFORE the latest-observation collapse,
+        so the html payload never enters any exchange. Links collapse via
+        ``max_by(links, round_id)`` (arrays of short strings); anchors
+        are extracted executor-local from every fetched row (one Arrow
+        hop, no grouping) into (url, round_id, target) tuples, then
+        filtered to the url's max round — superseded rows waste a little
+        extraction compute, never a payload shuffle. PageRank runs over
+        xxhash64 int64 node ids, so its per-iteration shuffles carry
+        (long, long); ranks join back through a (url, hash) map built
+        from the edge endpoints. The final composition is two url-keyed
+        outer joins of agg-collapsed frames, each ≪ the frontier.
         """
+        from crawld_spark.functions.extract import extract_anchors
         from crawld_spark.operators import graph
         from crawld_spark.operators.freshness import change_rate
 
         cfg = self.cfg
         fetched = self.cat.read(T_FETCHED, FETCHED_SCHEMA)
-        # latest observation per url (recrawl re-fetches supersede)
-        latest = fetched.groupBy("url").agg(
-            F.max_by(F.struct("html", "links"), "round_id").alias("_s")
-        ).select("url", F.col("_s.html").alias("html"), F.col("_s.links").alias("links"))
-        latest = latest.localCheckpoint(eager=False)  # two consumers below
 
+        # links of the latest observation per url (recrawl re-fetches
+        # supersede): only (url, round_id, links) reach the exchange
+        latest_links = fetched.groupBy("url").agg(
+            F.max_by("links", "round_id").alias("links")
+        )
         edges = (
-            latest.select(F.col("url").alias("src"), F.explode("links").alias("_raw"))
+            latest_links.select(
+                F.col("url").alias("src"), F.explode("links").alias("_raw")
+            )
             .withColumn("dst", canonicalize_url(F.col("_raw")))
             .where(F.col("dst").isNotNull())
             .select("src", "dst")
         )
-        pr = graph.pagerank(
-            edges, n_iter=cfg.signal_pr_iters, key_type="string"
-        ).select(F.col("node").alias("url"), "rank_q")
+        eh = edges.select(
+            F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+        )
+        urlmap = (
+            edges.select(F.col("src").alias("url"))
+            .unionAll(edges.select(F.col("dst").alias("url")))
+            .distinct()
+            .select("url", F.xxhash64("url").alias("_h"))
+        )
+        pr = (
+            graph.pagerank(eh, n_iter=cfg.signal_pr_iters, key_type="long")
+            .join(urlmap, F.col("node") == F.col("_h"))
+            .select("url", "rank_q")
+        )
 
+        # anchors: executor-local per-row extraction, then keep only the
+        # tuples of each url's latest round
+        maxr = fetched.groupBy("url").agg(F.max("round_id").alias("_mr"))
+        apairs = fetched.select(
+            "url",
+            "round_id",
+            F.explode(extract_anchors(F.col("html"))).alias("_pair"),
+        ).select(
+            "url",
+            "round_id",
+            F.split_part(F.col("_pair"), F.lit("\t"), F.lit(1)).alias("_target"),
+        )
         an = (
-            graph.anchor_text_agg(latest, html_col="html", id_col="url")
-            .select(canonicalize_url(F.col("target")).alias("url"), "n_inlinks")
+            apairs.join(maxr, "url")
+            .where(F.col("round_id") == F.col("_mr"))
+            .select(canonicalize_url(F.col("_target")).alias("url"))
             .where(F.col("url").isNotNull())
             .groupBy("url")
-            .agg(F.sum("n_inlinks").alias("n_inlinks"))
+            .agg(F.count("*").cast("long").alias("n_inlinks"))
         )
         fresh = change_rate(
             fetched.select("url", "round_id", F.md5("text").alias("digest")),

@@ -439,3 +439,49 @@ class TestTrapAndBudget:
         for ln in plan.splitlines():
             if "Window [" in ln:
                 assert "_pid" in ln, ln
+
+
+@pytest.mark.usefixtures("spark")
+class TestSignalPlanPayloadFree:
+    """VERDICT r5 item 1: the measured-signal pass must never move the
+    html (or extracted text) payload through an exchange — links collapse
+    as derived arrays, anchors are extracted executor-local per fetched
+    row before the latest-round filter, and PageRank runs on xxhash64 ids.
+    """
+
+    def test_no_signal_exchange_carries_payload(self, spark, tmp_path):
+        from crawld_spark.config import CrawlConfig
+        from crawld_spark.plans.rounds import CrawlEngine
+        from crawld_spark.sources.synth_web import (
+            generate_pages,
+            generate_robots,
+            generate_seeds,
+        )
+
+        cfg = CrawlConfig(
+            warehouse=str(tmp_path / "wh"), round_duration_s=30.0,
+            max_urls_per_host_per_round=8, n_seen_shards=4,
+            bloom_bits=1 << 14, shuffle_partitions=8, salt_buckets=4,
+            signal_priority_every=1,
+        )
+        eng = CrawlEngine(
+            spark, cfg,
+            generate_pages(spark, 120, 6, 42, fanout=3, partitions=4).cache(),
+            generate_robots(spark, 6, 42),
+        )
+        eng.run(generate_seeds(spark, 120, 6, n_seeds=4, seed=42), max_rounds=2)
+
+        sig = eng._signal_priorities(3)
+        txt = sig._sc._jvm.PythonSQLUtils.explainString(
+            sig._jdf.queryExecution(), "formatted"
+        )
+        import re
+
+        blocks = re.findall(
+            r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", txt
+        )
+        assert blocks, txt  # the signal plan does shuffle SOMETHING
+        for cols in blocks:
+            assert "html" not in cols and "text#" not in cols, (cols, txt)
+        # and it still computes: the composed priorities are non-empty
+        assert sig.limit(1).count() == 1
