@@ -320,8 +320,14 @@ def rfc_verdict(path, rules):
             ),
         )
     )
+    # ADVICE r5: the '$' anchor rides as a sentinel byte appended to the
+    # path; a hostile path CONTAINING that byte could forge an anchored
+    # match (e.g. 'Allow: /public$' matching '/public\x01secret' under
+    # 'Disallow: /'). Enforce the invariant fail-safe: any path carrying
+    # the sentinel is denied outright — over-deny, never under-deny, the
+    # module's safety property.
     return F.when(r.isNull(), F.lit(False)).otherwise(
-        best.isNotNull() & (best["a"] == 0)
+        p.contains(F.lit(_SENTINEL)) | (best.isNotNull() & (best["a"] == 0))
     )
 
 

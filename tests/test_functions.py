@@ -864,3 +864,40 @@ class TestRegistrableDomain:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan and "PythonUDF" not in plan, plan
+
+
+@pytest.mark.usefixtures("spark")
+class TestRfcSentinelSafety:
+    """ADVICE r5: a hostile path CONTAINING the '$'-anchor sentinel byte
+    must not forge an anchored match — rfc_verdict denies such paths
+    outright (fail-safe over-deny)."""
+
+    def test_sentinel_path_is_denied(self, spark):
+        from crawld_spark.functions.robots import (
+            _SENTINEL,
+            parse_robots_rfc,
+            rfc_verdict,
+        )
+        from crawld_spark.session import local_df
+
+        body = "User-agent: *\nDisallow: /\nAllow: /public$\n"
+        rules, _ = parse_robots_rfc(body, "crawld")
+        rows = [
+            ("/public", rules),                      # genuine anchored allow
+            ("/public" + _SENTINEL + "secret", rules),  # forged anchor
+            ("/private", rules),
+        ]
+        df = local_df(
+            spark, rows,
+            "path string, rules array<struct<segs:array<string>,spec:int,allow:boolean>>",
+            ["path", "rules"],
+        )
+        got = {
+            r["path"]: r["denied"]
+            for r in df.select(
+                "path", rfc_verdict("path", "rules").alias("denied")
+            ).collect()
+        }
+        assert got["/public"] is False
+        assert got["/public" + _SENTINEL + "secret"] is True
+        assert got["/private"] is True
