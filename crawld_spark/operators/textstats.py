@@ -1020,11 +1020,10 @@ def tfidf_top_terms(
     """
     from pyspark.sql.window import Window
 
-    from crawld_spark.operators.ckpt import ckpt_lazy
-
     ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
-    # two consumers (tf and df aggregates): materialize the token rows once
-    tok = ckpt_lazy(docs.select(F.col(id_col), F.explode(ws).alias("term")))
+    # NOT checkpointed: the tf/df consumers re-run the cheap split+explode;
+    # materializing the token rows costs more than it saves (measured r6)
+    tok = docs.select(F.col(id_col), F.explode(ws).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
     df_ = tok.groupBy("term").agg(
         F.count_distinct(id_col).cast("long").alias("df")
