@@ -2200,8 +2200,10 @@ def tfidf_top_terms(spark, sf_dir):
     (textstats.tfidf_top_terms). IDF is int64-quantized at the term-type
     level (floor(ln(N/df)*1e6), the lm_familiarity trick) so scores and
     ranks are integer-exact across engines; ties break on the term."""
+    # no _spread: the lane is bound by the (doc, term) aggregation
+    # shuffle, not per-row compute — the repartition only added overhead
     return textstats.tfidf_top_terms(
-        _spread(_t(spark, sf_dir, "documents")), k=3
+        _t(spark, sf_dir, "documents"), k=3
     )
 
 
