@@ -320,14 +320,62 @@ def dedup_clusters(
     from crawld_spark.operators.ckpt import ckpt_lazy
 
     buckets = ckpt_lazy(buckets)
-    roots = buckets.groupBy("band_id", "band_key").agg(F.min(id_col).alias("_root"))
-    edges = (
-        buckets.join(roots, on=["band_id", "band_key"])
-        .where(F.col(id_col) != F.col("_root"))
-        .select(F.col("_root").alias("src"), F.col(id_col).alias("dst"))
-        .distinct()
-    )
-    comp = connected_components(edges)
+    if buckets.count() <= DRIVER_CC_MAX_EDGES:
+        # bounded bucket set (bucket rows bound the star-edge count):
+        # group → per-bucket min → union-find entirely driver-side, off
+        # the already-materialized checkpoint blocks — skips the roots
+        # aggregation, the member join, the distinct, and the CC job
+        # chain (r6). Identical components: union(min, member) over every
+        # bucket IS the star-edge connected-components.
+        from crawld_spark.session import local_df
+
+        groups: dict[tuple, list[int]] = {}
+        for r in buckets.collect():
+            groups.setdefault((r[0], r[1]), []).append(int(r[2]))
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for members in groups.values():
+            if len(members) < 2:
+                continue
+            m0 = min(members)
+            if m0 not in parent:
+                parent[m0] = m0
+            for d in members:
+                if d == m0:
+                    continue
+                if d not in parent:
+                    parent[d] = d
+                ra, rb = find(m0), find(d)
+                if ra != rb:
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+        comp = local_df(
+            docs.sparkSession,
+            [(n, find(n)) for n in parent],
+            "node long, component long",
+            ["node", "component"],
+        )
+    else:
+        roots = buckets.groupBy("band_id", "band_key").agg(
+            F.min(id_col).alias("_root")
+        )
+        edges = (
+            buckets.join(roots, on=["band_id", "band_key"])
+            .where(F.col(id_col) != F.col("_root"))
+            .select(F.col("_root").alias("src"), F.col(id_col).alias("dst"))
+            .distinct()
+        )
+        comp = connected_components(edges)
     return (
         docs.select(id_col)
         .join(comp, docs[id_col] == comp["node"], how="left")
